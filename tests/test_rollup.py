@@ -1,0 +1,119 @@
+"""Rollup tier correctness: A1-A4 semantics on the synthetic crawl."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yatsm_spark.operators.rollup import (
+    TIER_SECONDS,
+    cascade,
+    gap_fill,
+    locf,
+    rollup,
+    series_clean,
+)
+
+
+def test_datagen_deterministic(spark):
+    from yatsm_spark.datagen import generate_crawl
+
+    a = generate_crawl(spark, n_urls=20, span_days=30)
+    b = generate_crawl(spark, n_urls=20, span_days=30).repartition(13)
+    assert a.count() == b.count() > 0
+    # partition-layout invariance: same rows, same bytes
+    ha = a.select(F.expr("bit_xor(xxhash64(url, warc_ts, text, lang))")).first()[0]
+    hb = b.select(F.expr("bit_xor(xxhash64(url, warc_ts, text, lang))")).first()[0]
+    assert ha == hb
+
+
+def test_hot_domain_skew(tiny_crawl):
+    total = tiny_crawl.count()
+    hot = tiny_crawl.filter(F.col("url").contains("hot.example")).count()
+    assert 0.10 < hot / total < 0.35  # ~20% by design
+
+
+def test_rollup_1h_counts(spark, tiny_crawl):
+    clean = series_clean(tiny_crawl)
+    r1h = rollup(clean, "1h")
+    # every observation lands in exactly one bucket
+    assert r1h.agg(F.sum("cnt")).first()[0] == clean.count()
+    # bucket alignment: bucket_ts <= warc_ts < bucket_ts + 1h
+    joined = clean.join(r1h, "url").filter(
+        (F.col("warc_ts") >= F.col("bucket_ts"))
+        & (F.unix_timestamp("warc_ts") < F.unix_timestamp("bucket_ts") + 3600)
+    )
+    assert joined.count() == clean.count()
+    row = r1h.filter(F.col("cnt") > 0).first()
+    assert row["mean_len"] == row["sum_len"] / row["cnt"]
+    assert row["min_len"] <= row["mean_len"] <= row["max_len"]
+
+
+def test_lang_dist_sums_to_cnt(spark, tiny_crawl):
+    r1h = rollup(series_clean(tiny_crawl), "1h")
+    bad = r1h.filter(
+        F.aggregate(F.map_values("lang_dist"), F.lit(0).cast("long"), lambda a, x: a + x)
+        != F.col("cnt")
+    ).count()
+    assert bad == 0
+
+
+def test_cascade_exactness(spark, tiny_crawl):
+    """30d from 1d must equal 30d straight from raw (A2, SURVEY §5.2.3)."""
+    clean = series_clean(tiny_crawl)
+    r1h = rollup(clean, "1h")
+    r1d = cascade(r1h, "1d")
+    r30d_cascaded = cascade(r1d, "30d")
+    r30d_direct = rollup(clean, "30d")
+    cols = ["url", "bucket_ts", "cnt", "sum_len", "min_len", "max_len"]
+    diff = (
+        r30d_cascaded.select(cols).exceptAll(r30d_direct.select(cols)).count()
+        + r30d_direct.select(cols).exceptAll(r30d_cascaded.select(cols)).count()
+    )
+    assert diff == 0
+    # lang maps match too (compare exploded, order-insensitive)
+    lc = r30d_cascaded.select("url", "bucket_ts", F.explode("lang_dist"))
+    ld = r30d_direct.select("url", "bucket_ts", F.explode("lang_dist"))
+    assert lc.exceptAll(ld).count() == 0 and ld.exceptAll(lc).count() == 0
+
+
+def test_gap_fill_completes_grid(spark, tiny_crawl):
+    r1d = rollup(series_clean(tiny_crawl), "1d")
+    filled = gap_fill(r1d, "1d")
+    # per url the bucket sequence is now dense at 1d steps
+    step = TIER_SECONDS["1d"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("bucket_ts")
+    holes = (
+        filled.withColumn("_next", F.lead("bucket_ts").over(w))
+        .filter(
+            F.col("_next").isNotNull()
+            & (F.unix_timestamp("_next") - F.unix_timestamp("bucket_ts") != step)
+        )
+        .count()
+    )
+    assert holes == 0
+    # fills are flagged and empty; real rows unchanged
+    assert filled.filter(F.col("gap_filled") & (F.col("cnt") != 0)).count() == 0
+    assert filled.filter(~F.col("gap_filled")).count() == r1d.count()
+    # datagen plants a gap in every url's series, so fills must exist
+    assert filled.filter(F.col("gap_filled")).count() > 0
+
+
+def test_locf(spark, tiny_crawl):
+    r1d = gap_fill(rollup(series_clean(tiny_crawl), "1d"), "1d")
+    f = locf(r1d)
+    # gap rows carry the previous real mean
+    assert f.filter(F.col("gap_filled") & F.col("mean_len_locf").isNull()).count() == 0
+
+
+def test_text_byte_identity(spark, tiny_crawl):
+    """Per-row invariant (BASELINE.json:15): the engine never mutates text.
+
+    series_clean carries text through; hash per (url, warc_ts) must match
+    the source exactly.
+    """
+    src = tiny_crawl.select("url", "warc_ts", F.sha2("text", 256).alias("h"))
+    out = series_clean(tiny_crawl).select("url", "warc_ts", F.sha2("text", 256).alias("h"))
+    # clean is a subset (dedup/filter) but every surviving hash matches source
+    assert out.join(src, ["url", "warc_ts", "h"], "left_anti").count() == 0

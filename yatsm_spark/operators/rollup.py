@@ -1,0 +1,197 @@
+"""Continuous-aggregate rollup tiers over per-url crawl series.
+
+Operators (SURVEY.md §2.2/§2.4):
+  * :func:`series_clean`   — F1 valid-range, F2 categorical mask, F3 dedup
+  * :func:`rollup`         — A1 tumbling-window rollup + A3 lang distribution
+  * :func:`cascade`        — A2 tier re-aggregation (1h -> 1d -> 30d), exact
+  * :func:`gap_fill`       — A4 materialize missing intervals (cnt=0 rows)
+  * :func:`locf`           — A4 last-observation-carried-forward fill
+
+Reference analog: YATSM has no rollup (it consumes raw irregular series);
+these implement the north_star's "continuous aggregates at 1h/1d/30d
+retention tiers via window aggregates" (BASELINE.json:6).
+
+Scale notes (100 TB design):
+  * The rollup is ONE shuffle on (url, bucket, lang); Spark plans
+    partial HashAggregate -> Exchange -> final HashAggregate, so map-side
+    combine absorbs the hot-domain skew before the wire for count/sum/min/max.
+    For truly pathological keys use operators/salt.py (explicit two-stage).
+  * Tier schemas carry cnt+sum so coarser tiers re-aggregate EXACTLY —
+    mean-of-means is wrong under uneven bucket counts; mean_len is derived.
+  * Scans must never touch ``html`` (~most bytes): rollups select only
+    (url, warc_ts, text, lang) and only length(text); Catalyst prunes the
+    rest out of the Parquet scan (asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TIERS = {"1h": "1 hour", "1d": "1 day", "30d": "30 days"}
+# seconds per tier (30d tier is a fixed 30-day epoch-aligned bucket)
+TIER_SECONDS = {"1h": 3600, "1d": 86400, "30d": 30 * 86400}
+
+CORE_COLS = ["url", "bucket_ts", "cnt", "sum_len", "mean_len", "min_len", "max_len"]
+
+
+def series_clean(crawl: DataFrame) -> DataFrame:
+    """F1+F2+F3: validity mask and duplicate-(url, warc_ts) dedup.
+
+    Reference analog: valid-range mask (yatsm/_cyprep.pyx::get_valid_mask
+    [U]) + Fmask categorical screen + duplicate-date drop in
+    yatsm/cli/line.py [U].  Deterministic tie-break: keep the longest text,
+    then lexicographically-first, so results are partition-order invariant.
+    """
+    w = Window.partitionBy("url", "warc_ts").orderBy(
+        F.length("text").desc(), F.col("text").asc()
+    )
+    return (
+        crawl.select("url", "warc_ts", "text", "lang")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("text_len", F.length("text").cast("long"))
+    )
+
+
+def _bucket(ts_col: str, tier: str) -> F.Column:
+    """Epoch-aligned tumbling bucket start.  Same arithmetic as
+    ``F.window(ts, interval)`` (origin 1970-01-01 UTC) but exposed as a
+    plain timestamp column — easier to cascade, join and oracle-check."""
+    secs = TIER_SECONDS[tier]
+    return F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs).cast("long")
+    )
+
+
+def rollup(clean: DataFrame, tier: str = "1h") -> DataFrame:
+    """A1+A3: per-(url, bucket) count/sum/mean/min/max of text_len and the
+    language distribution as a deterministic ``map<string,bigint>``.
+
+    One shuffle: groupBy (url, bucket_ts, lang) with partial aggregation,
+    then a narrow re-agg to (url, bucket_ts) — the second groupBy keys are
+    a prefix of the first, so AQE/EnsureRequirements avoids a second full
+    exchange of the raw data (only the tiny lang-level rows move).
+    """
+    by_lang = clean.groupBy(
+        "url", _bucket("warc_ts", tier).alias("bucket_ts"), "lang"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("text_len").alias("sum_len"),
+        F.min("text_len").alias("min_len"),
+        F.max("text_len").alias("max_len"),
+    )
+    return (
+        by_lang.groupBy("url", "bucket_ts")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_len").alias("sum_len"),
+            F.min("min_len").alias("min_len"),
+            F.max("max_len").alias("max_len"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("lang", "cnt")))
+            ).alias("lang_dist"),
+        )
+        .withColumn("mean_len", F.col("sum_len") / F.col("cnt"))
+        .withColumn("gap_filled", F.lit(False))
+        .select(*CORE_COLS, "lang_dist", "gap_filled")
+    )
+
+
+def cascade(finer: DataFrame, tier: str) -> DataFrame:
+    """A2: re-aggregate a finer tier into ``tier`` EXACTLY.
+
+    cnt/sum/min/max compose; mean is re-derived from sums; lang_dist maps
+    are exploded and re-summed (map merge is order-insensitive because the
+    final map is built from a sorted entry list).  Gap rows (cnt=0) are
+    excluded so fills never pollute coarser tiers.
+    """
+    real = finer.filter(~F.col("gap_filled"))
+    core = real.groupBy("url", _bucket("bucket_ts", tier).alias("bucket_ts")).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_len").alias("sum_len"),
+        F.min("min_len").alias("min_len"),
+        F.max("max_len").alias("max_len"),
+    )
+    langs = (
+        real.select(
+            "url",
+            _bucket("bucket_ts", tier).alias("bucket_ts"),
+            F.explode("lang_dist").alias("lang", "lang_cnt"),
+        )
+        .groupBy("url", "bucket_ts", "lang")
+        .agg(F.sum("lang_cnt").alias("lang_cnt"))
+        .groupBy("url", "bucket_ts")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("lang", "lang_cnt")))
+            ).alias("lang_dist")
+        )
+    )
+    # core and langs shuffle on the same (url, bucket_ts) keys, so the join
+    # reuses the exchange (no third shuffle of the fine-tier data).
+    return (
+        core.join(langs, ["url", "bucket_ts"])
+        .withColumn("mean_len", F.col("sum_len") / F.col("cnt"))
+        .withColumn("gap_filled", F.lit(False))
+        .select(*CORE_COLS, "lang_dist", "gap_filled")
+    )
+
+
+def gap_fill(tier_df: DataFrame, tier: str) -> DataFrame:
+    """A4: materialize missing buckets between each url's first and last
+    observed bucket as cnt=0 rows flagged ``gap_filled = true``.
+
+    Join-free formulation: per url, ``lead(bucket_ts)`` (one window shuffle
+    on url) then ``explode(sequence(bucket+step, next-step))`` generates the
+    fill rows map-side — no expected-grid build, no second shuffle, scales
+    with the number of GAPS not the grid size.  (Equivalent of the
+    grid LEFT JOIN in SURVEY.md J1, chosen over it for shuffle count.)
+    """
+    secs = TIER_SECONDS[tier]
+    w = Window.partitionBy("url").orderBy("bucket_ts")
+    gaps = (
+        tier_df.withColumn("_next", F.lead("bucket_ts").over(w))
+        .filter(
+            F.col("_next").isNotNull()
+            & (F.unix_timestamp("_next") - F.unix_timestamp("bucket_ts") > secs)
+        )
+        .select(
+            "url",
+            F.explode(
+                F.sequence(
+                    F.col("bucket_ts") + F.make_interval(secs=F.lit(float(secs))),
+                    F.col("_next") - F.make_interval(secs=F.lit(float(secs))),
+                    F.make_interval(secs=F.lit(float(secs))),
+                )
+            ).alias("bucket_ts"),
+        )
+        .withColumn("cnt", F.lit(0).cast("long"))
+        .withColumn("sum_len", F.lit(0).cast("long"))
+        .withColumn("mean_len", F.lit(None).cast("double"))
+        .withColumn("min_len", F.lit(None).cast("long"))
+        .withColumn("max_len", F.lit(None).cast("long"))
+        .withColumn("lang_dist", F.lit(None).cast("map<string,bigint>"))
+        .withColumn("gap_filled", F.lit(True))
+        .select(*CORE_COLS, "lang_dist", "gap_filled")
+    )
+    return tier_df.unionByName(gaps)
+
+
+def locf(filled: DataFrame, cols: tuple[str, ...] = ("mean_len",)) -> DataFrame:
+    """A4 option: last-observation-carried-forward over gap rows.
+
+    ``last(col, ignorenulls=True)`` over an unbounded-preceding frame per
+    url — one window shuffle, no join.
+    """
+    w = (
+        Window.partitionBy("url")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = filled
+    for c in cols:
+        out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
+    return out
