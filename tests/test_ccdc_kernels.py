@@ -1,0 +1,193 @@
+"""Pure-numpy kernel tests (SURVEY.md §5.2.1-2): golden YATSM segmentation
+fixtures recast as url-series break-detection assertions (FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from yatsm_spark.functions.ccdc import (
+    CCDCParams,
+    chow_commission,
+    cusum_omission,
+    f_sf,
+    fit_series,
+    harmonic_design,
+    lasso_cd,
+    ols_fit,
+    recresid,
+    rlm_irls,
+    tmask_screen,
+)
+
+RNG = np.random.default_rng(42)
+P = CCDCParams()
+
+
+def _series(n_days=3 * 365, cadence=8, amp=300.0, base=2000.0, noise=20.0):
+    t = np.arange(0, n_days, cadence, dtype=np.float64)
+    y = base + amp * np.cos(2 * math.pi * t / 365.25) + RNG.normal(0, noise, t.size)
+    return t, y
+
+
+def test_harmonic_design_shape():
+    X = harmonic_design(np.arange(10.0), order=2)
+    assert X.shape == (10, 6)
+    np.testing.assert_allclose(X[:, 0], 1.0)
+
+
+def test_ols_recovers_coefficients():
+    t, y = _series()
+    X = harmonic_design(t)
+    coef, r = ols_fit(X, y)
+    assert abs(coef[0] - 2000.0) < 10
+    assert abs(coef[2] - 300.0) < 10  # cos amplitude
+    assert abs(r - 20.0) < 5
+
+
+def test_lasso_shrinks_vs_ols():
+    t, y = _series()
+    X = harmonic_design(t, order=2)
+    ols = lasso_cd(X, y, alpha=0.0)
+    las = lasso_cd(X, y, alpha=50.0)
+    # non-intercept coefs shrink in L1 norm; intercept unpenalized
+    assert np.abs(las[1:]).sum() < np.abs(ols[1:]).sum()
+    # irrelevant high-order terms go (near) zero
+    assert abs(las[4]) < 1.0 and abs(las[5]) < 1.0
+
+
+def test_lasso_alpha0_equals_ols():
+    t, y = _series()
+    X = harmonic_design(t)
+    np.testing.assert_allclose(lasso_cd(X, y, 0.0), np.linalg.lstsq(X, y, rcond=None)[0], atol=1e-4)
+
+
+def test_rlm_ignores_outliers():
+    t, y = _series(noise=5.0)
+    y_dirty = y.copy()
+    y_dirty[::20] += 5000.0
+    X = harmonic_design(t)
+    coef_r, _ = rlm_irls(X, y_dirty)
+    assert abs(coef_r[0] - 2000.0) < 25  # robust intercept unaffected by spikes
+
+
+def test_tmask_drops_planted_outliers():
+    """fx://outliers: stable + 5 isolated spikes -> spikes screened, no break."""
+    t, y = _series(noise=20.0)
+    idx = [20, 45, 70, 95, 110]
+    y[idx] += 5000.0
+    keep = tmask_screen(t, y)
+    assert not keep[idx].any()
+    assert keep.sum() >= t.size - len(idx) - 5
+    segs = fit_series(t, y, P)
+    assert len(segs) == 1 and segs[0].status == "stable"
+
+
+def test_stable_series_single_segment():
+    """fx://stable: 1 segment, no break, coef recovery, rmse ~ noise."""
+    t, y = _series()
+    segs = fit_series(t, y, P)
+    assert len(segs) == 1
+    s = segs[0]
+    assert s.status == "stable"
+    assert math.isnan(s.break_t)
+    assert abs(s.coef[0] - 2000.0) < 15
+    assert abs(s.coef[2] - 300.0) < 15
+    assert abs(s.rmse - 20.0) < 6
+
+
+def test_break_step_detected():
+    """fx://break-step: +800 level shift at t0 -> 2 segments, break at t0
+    within consecutive*cadence, magnitude ~ +800."""
+    cadence = 8
+    t, y = _series(cadence=cadence)
+    t0 = 547.0  # mid-series
+    y = y + np.where(t >= t0, 800.0, 0.0)
+    segs = fit_series(t, y, P)
+    assert len(segs) == 2, [s.status for s in segs]
+    b = segs[0]
+    assert b.status == "broken"
+    assert abs(b.break_t - t0) <= P.consecutive * cadence + cadence
+    assert abs(b.magnitude - 800.0) < 120
+    assert segs[1].status == "stable"
+
+
+def test_break_trend_detected():
+    """fx://break-trend: slope 0 -> +3/day at t0; break found, second-segment
+    slope ~ 3."""
+    t, y = _series(cadence=8, noise=15.0)
+    t0 = 500.0
+    y = y + np.where(t >= t0, 3.0 * (t - t0), 0.0)
+    segs = fit_series(t, y, P)
+    assert len(segs) >= 2
+    assert segs[0].status == "broken"
+    assert abs(segs[0].break_t - t0) <= 120  # trend onset ramps slowly past threshold
+    assert abs(segs[-1].coef[1] - 3.0) < 1.0
+
+
+def test_short_series_insufficient():
+    """fx://short: n < min_obs -> one 'insufficient' record, no crash."""
+    t = np.arange(6, dtype=np.float64) * 8
+    y = np.full(6, 2000.0)
+    segs = fit_series(t, y, P)
+    assert len(segs) == 1 and segs[0].status == "insufficient"
+    assert segs[0].n_obs == 6
+
+
+def test_gappy_series_still_one_segment():
+    """fx://gappy: 40% missing -> still a single stable segment."""
+    t, y = _series()
+    keep = RNG.random(t.size) > 0.4
+    segs = fit_series(t[keep], y[keep], P)
+    assert len(segs) == 1 and segs[0].status == "stable"
+
+
+def test_recresid_iid_standardized():
+    """On a true linear model with N(0,s) noise, recursive residuals are
+    ~N(0,s) (BDE 1975)."""
+    t = np.arange(200.0)
+    X = harmonic_design(t)
+    y = 10.0 + 0.5 * t + RNG.normal(0, 2.0, 200)
+    w = recresid(X, y)
+    assert w.size == 200 - X.shape[1]
+    assert abs(np.std(w) - 2.0) < 0.5
+    assert abs(np.mean(w)) < 0.5
+
+
+def test_cusum_detects_omitted_break():
+    t = np.arange(300.0)
+    X = harmonic_design(t)
+    y = 100.0 + RNG.normal(0, 3.0, 300)
+    assert not cusum_omission(X, y, 0.05)
+    y2 = y + np.where(t >= 150, 60.0, 0.0)
+    assert cusum_omission(X, y2, 0.05)
+
+
+def test_f_sf_known_values():
+    # F(1, 10): P(F > 4.96) ~ 0.05; F(5, 20): P(F > 2.71) ~ 0.05
+    assert f_sf(4.965, 1, 10) == pytest.approx(0.05, abs=0.002)
+    assert f_sf(2.711, 5, 20) == pytest.approx(0.05, abs=0.002)
+
+
+def test_chow_merges_spurious_split():
+    t, y = _series()
+    X = harmonic_design(t)
+    half = t.size // 2
+    # same process both halves -> break NOT significant -> merge=True
+    assert chow_commission(X[:half], y[:half], X[half:], y[half:], 0.01)
+    # genuine +800 shift -> significant -> merge=False
+    y2 = y + np.where(t >= t[half], 800.0, 0.0)
+    assert not chow_commission(X[:half], y2[:half], X[half:], y2[half:], 0.01)
+
+
+def test_determinism():
+    t, y = _series(cadence=4)
+    y += np.where(t >= 600, 500.0, 0.0)
+    a = fit_series(t, y, P)
+    b = fit_series(t[::-1].copy(), y[::-1].copy(), P)  # input order must not matter
+    assert len(a) == len(b)
+    for s1, s2 in zip(a, b):
+        assert s1.start_t == s2.start_t and s1.status == s2.status
+        np.testing.assert_array_equal(s1.coef, s2.coef)

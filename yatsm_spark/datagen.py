@@ -12,7 +12,9 @@ cluster-size-invariant results; a ``rand(seed)`` column is partition-order
 dependent, a hash of the row key is not).
 
 Signal model (the measured series is ``length(text)``):
-    len(t) = 2000 + 300*cos(2*pi*doy/365.25) + break(t) + trend(t) + noise
+    len(t) = 2000 + 300*cos(2*pi*t/7d) + break(t) + trend(t) + noise
+(weekly seasonality — the web-traffic analog of Landsat's annual cycle; an
+annual harmonic would be unidentifiable over the default 120-day span)
   * urls with url_id % 7 == 3: level shift +800 after a per-url break time
   * urls with url_id % 7 == 5: slope +3/day after the break time
   * noise: sum of three hash-uniforms, approx N(0, 20^2), deterministic
@@ -35,7 +37,7 @@ from pyspark.sql import functions as F
 SEED = 42
 N_BUCKETS = 16  # sandbox analog of Iceberg bucket(url, B); prod would use 1024+
 START_TS = "2024-01-01 00:00:00"
-PERIOD_DAYS = 365.25
+SIGNAL_PERIOD_DAYS = 7.0
 
 # cadence hours for non-hot urls, chosen per url by hash
 _CADENCES = [3, 6, 12, 24, 72, 168]
@@ -126,7 +128,7 @@ def generate_crawl(
         .withColumn(
             "signal",
             F.lit(2000.0)
-            + 300.0 * F.cos(F.lit(2 * math.pi / PERIOD_DAYS) * F.col("t_days"))
+            + 300.0 * F.cos(F.lit(2 * math.pi / SIGNAL_PERIOD_DAYS) * F.col("t_days"))
             + F.when((F.col("kind") == 3) & (F.col("t_days") >= F.col("brk_t")), 800.0).otherwise(0.0)
             + F.when(
                 (F.col("kind") == 5) & (F.col("t_days") >= F.col("brk_t")),

@@ -1,0 +1,592 @@
+"""CCDC-style piecewise harmonic segmentation kernels (pure numpy).
+
+Re-implements, from the published algorithm description (Zhu & Woodcock 2014,
+"Continuous change detection and classification of land cover using all
+available Landsat data", Remote Sens. Environ. 144:152-171) and the public
+behavior of the reference package, the kernel stack YATSM runs per pixel —
+here run per url series (SURVEY.md §2.5):
+
+  K1  ols_fit            — yatsm/regression/packaged.py (sklearn OLS) [U]
+  K2  lasso_cd           — yatsm/regression/glmnet_fit.py::GLMnetLasso [U];
+                           own coordinate descent (sklearn absent in sandbox)
+  K3  rlm_irls           — yatsm/regression/robust_fit.py::RLM [U]
+  K4  rmse               — yatsm/regression/diagnostics.py::rmse [U]
+  K5  stable-period train — yatsm/algorithms/ccdc.py::CCDCesque.train [U]
+  K6  Shewhart monitor   — yatsm/algorithms/ccdc.py::CCDCesque.monitor [U]
+  K7  dynamic rmse       — yatsm/algorithms/ccdc.py::get_dynamic_rmse [U]
+  K8  recresid + CUSUM   — yatsm/regression/recresid.py [U],
+                           postprocess.py::omission_test [U]
+  K9  Chow commission    — yatsm/algorithms/postprocess.py::commission_test [U]
+  K10 Tmask screen       — yatsm/masking.py::multitemp_mask [U]
+
+All float64, fixed iteration caps/orders, stable sorts — results are
+identical regardless of Spark partitioning (SURVEY.md §4.3 determinism).
+No scipy/sklearn: the F-distribution CDF needed by K9 is computed with an
+own regularized-incomplete-beta continued fraction (Lentz), standard
+public-domain numerics (cf. Numerical Recipes §6.4 formulas).
+
+These kernels never see Spark: plans/segmentation.py feeds them pandas
+groups via applyInPandas.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+PERIOD_DAYS = 365.25
+_EPS = 1e-12
+
+
+@dataclass(frozen=True)
+class CCDCParams:
+    """Defaults mirror the reference CCDCesque config (FIXTURES.md §2;
+    re-verify against /root/reference when mounted)."""
+
+    consecutive: int = 5
+    threshold: float = 3.5
+    min_obs: int = 16
+    # training window must also SPAN at least this many days — a harmonic
+    # model fit on a fraction of its period is unidentified (t/cos/sin are
+    # locally collinear) and extrapolates into false breaks.  Zhu & Woodcock
+    # 2014 §2.1.2 initialize on >= 1 year of clear observations.
+    min_span: float = 365.25
+    harmonic_order: int = 1
+    period: float = PERIOD_DAYS
+    retrain_time: float = 365.25  # days between refits while monitoring
+    min_rmse: float = 1.0  # floor on rmse in monitor scores
+    lasso_alpha: float = 0.0  # 0 => OLS; reference default Lasso(alpha=20)
+    screen: str = "tmask"  # 'tmask' | 'mad' | 'none'
+    screen_crit: float = 3.5
+    commission_alpha: float = 0.0  # 0 => commission (Chow) test off
+    omission_alpha: float = 0.0  # 0 => omission (CUSUM) test off
+
+
+# ---------------------------------------------------------------- design (F6)
+
+
+def harmonic_design(t: np.ndarray, order: int = 1, period: float = PERIOD_DAYS) -> np.ndarray:
+    """[1, t, cos(2πkt/P), sin(2πkt/P) for k=1..order] — the patsy
+    '1 + x + harm(x, k)' design of yatsm/regression/transforms.py::harm [U]."""
+    t = np.asarray(t, dtype=np.float64)
+    cols = [np.ones_like(t), t]
+    for k in range(1, order + 1):
+        w = 2.0 * math.pi * k / period
+        cols.append(np.cos(w * t))
+        cols.append(np.sin(w * t))
+    return np.column_stack(cols)
+
+
+# ------------------------------------------------------------- fitters K1-K4
+
+
+def ols_fit(X: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, float]:
+    """K1: least squares; returns (coef, rmse)."""
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ coef
+    return coef, rmse(resid)
+
+
+def rmse(resid: np.ndarray) -> float:
+    """K4."""
+    return float(np.sqrt(np.mean(resid * resid))) if resid.size else 0.0
+
+
+def lasso_cd(
+    X: np.ndarray,
+    y: np.ndarray,
+    alpha: float,
+    max_iter: int = 500,
+    tol: float = 1e-8,
+) -> np.ndarray:
+    """K2: Lasso via cyclic coordinate descent (intercept unpenalized).
+
+    Objective (sklearn/glmnet convention): (1/2n)||y - Xb||² + alpha*||b₋₀||₁.
+    Deterministic: fixed cyclic order, fixed cap, fixed tol.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, p = X.shape
+    beta = np.zeros(p)
+    col_sq = (X * X).sum(axis=0) / n
+    r = y.copy()  # residual with beta=0
+    for _ in range(max_iter):
+        max_delta = 0.0
+        for j in range(p):
+            if col_sq[j] < _EPS:
+                continue
+            rho = (X[:, j] @ r) / n + col_sq[j] * beta[j]
+            if j == 0:  # intercept: no shrinkage
+                new = rho / col_sq[j]
+            else:
+                new = np.sign(rho) * max(abs(rho) - alpha, 0.0) / col_sq[j]
+            delta = new - beta[j]
+            if delta != 0.0:
+                r -= delta * X[:, j]
+                beta[j] = new
+                max_delta = max(max_delta, abs(delta))
+        if max_delta < tol:
+            break
+    return beta
+
+
+def rlm_irls(
+    X: np.ndarray, y: np.ndarray, maxiter: int = 5, c: float = 4.685
+) -> tuple[np.ndarray, float]:
+    """K3: robust linear model via IRLS with Tukey bisquare weights.
+
+    Fixed 5 iterations like the reference robust refit [U]; scale via
+    normalized MAD.  Returns (coef, robust scale estimate).
+    """
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    scale = 1.0
+    for _ in range(maxiter):
+        resid = y - X @ coef
+        scale = 1.4826 * float(np.median(np.abs(resid - np.median(resid)))) + _EPS
+        u = np.clip(resid / (c * scale), -1.0, 1.0)
+        w = (1.0 - u * u) ** 2
+        sw = np.sqrt(w)
+        coef, *_ = np.linalg.lstsq(X * sw[:, None], y * sw, rcond=None)
+    return coef, scale
+
+
+# ------------------------------------------------------------- screening K10
+
+
+def tmask_screen(
+    t: np.ndarray,
+    y: np.ndarray,
+    crit: float = 3.5,
+    order: int = 1,
+    period: float = PERIOD_DAYS,
+    maxiter: int = 5,
+) -> np.ndarray:
+    """K10: multi-temporal outlier screen — robust harmonic fit, drop
+    observations whose residual exceeds ``crit`` robust sigmas.
+
+    Reference yatsm/masking.py::multitemp_mask [U] fits an RLM on green +
+    SWIR bands with a fixed 400-reflectance crit; our single-series analog
+    uses the IRLS fit's MAD scale.  Returns a boolean KEEP mask.
+    """
+    if t.size < 8:
+        return np.ones(t.size, dtype=bool)
+    X = harmonic_design(t, order, period)
+    coef, scale = rlm_irls(X, y, maxiter=maxiter)
+    resid = y - X @ coef
+    return np.abs(resid) <= crit * max(scale, _EPS)
+
+
+def mad_screen(y: np.ndarray, crit: float = 3.5) -> np.ndarray:
+    """Simpler location-only MAD screen (F4's SQL-approximable variant)."""
+    med = np.median(y)
+    sigma = 1.4826 * np.median(np.abs(y - med)) + _EPS
+    return np.abs(y - med) <= crit * sigma
+
+
+# --------------------------------------------------- recursive residuals K8
+
+
+def recresid(X: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """K8: standardized one-step-ahead recursive residuals
+    (Brown, Durbin & Evans 1975), via Sherman-Morrison updates.
+
+    Returns array of length n-p (nan-free when X'X stays invertible).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, p = X.shape
+    if n <= p:
+        return np.empty(0)
+    X0, y0 = X[:p], y[:p]
+    XtX_inv = np.linalg.pinv(X0.T @ X0)
+    beta = XtX_inv @ (X0.T @ y0)
+    out = np.empty(n - p)
+    for i in range(p, n):
+        x = X[i]
+        denom = 1.0 + x @ XtX_inv @ x
+        out[i - p] = (y[i] - x @ beta) / math.sqrt(denom)
+        # rank-1 update of (X'X)^-1 and beta
+        XtX_inv -= np.outer(XtX_inv @ x, x @ XtX_inv) / denom
+        beta += XtX_inv @ x * (y[i] - x @ beta)
+    return out
+
+
+# Brown-Durbin-Evans CUSUM boundary coefficients by significance level.
+_CUSUM_CRIT = {0.10: 0.850, 0.05: 0.948, 0.01: 1.143}
+
+
+def cusum_omission(X: np.ndarray, y: np.ndarray, alpha: float = 0.05) -> bool:
+    """K8: CUSUM-of-recursive-residuals structural-break test.  True if the
+    cumulative sum crosses the BDE boundary a*sqrt(n)*(1 + 2*i/n) — i.e. an
+    omitted break exists inside the segment."""
+    w = recresid(X, y)
+    m = w.size
+    if m < 4:
+        return False
+    sigma = np.std(w, ddof=1)
+    if sigma < _EPS:
+        return False
+    s = np.cumsum(w) / (sigma * math.sqrt(m))
+    crit = _CUSUM_CRIT.get(round(alpha, 2), 0.948)
+    i = np.arange(1, m + 1)
+    bound = crit * (1.0 + 2.0 * i / m)
+    return bool(np.any(np.abs(s) > bound))
+
+
+# -------------------------------------------------------- F-distribution K9
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (modified Lentz)."""
+    MAXIT, EPS, FPMIN = 200, 3e-12, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < EPS:
+            break
+    return h
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def f_sf(f: float, d1: float, d2: float) -> float:
+    """Survival function (1 - CDF) of the F distribution."""
+    if f <= 0:
+        return 1.0
+    x = d2 / (d2 + d1 * f)
+    return betainc_reg(d2 / 2.0, d1 / 2.0, x)
+
+
+def chow_commission(
+    X1: np.ndarray, y1: np.ndarray, X2: np.ndarray, y2: np.ndarray, alpha: float = 0.01
+) -> bool:
+    """K9: Chow test — True if the break BETWEEN the two adjacent segments
+    is NOT significant at ``alpha`` (i.e. the segments should be merged —
+    a commission error, yatsm/algorithms/postprocess.py::commission_test [U])."""
+    n1, n2 = len(y1), len(y2)
+    p = X1.shape[1]
+    if n1 <= p or n2 <= p:
+        return False
+    Xp = np.vstack([X1, X2])
+    yp = np.concatenate([y1, y2])
+    c_p, *_ = np.linalg.lstsq(Xp, yp, rcond=None)
+    ssr_p = float(np.sum((yp - Xp @ c_p) ** 2))
+    c1, *_ = np.linalg.lstsq(X1, y1, rcond=None)
+    c2, *_ = np.linalg.lstsq(X2, y2, rcond=None)
+    ssr_1 = float(np.sum((y1 - X1 @ c1) ** 2))
+    ssr_2 = float(np.sum((y2 - X2 @ c2) ** 2))
+    ssr_u = ssr_1 + ssr_2
+    df2 = n1 + n2 - 2 * p
+    if df2 <= 0 or ssr_u < _EPS:
+        return False
+    f_stat = ((ssr_p - ssr_u) / p) / (ssr_u / df2)
+    return f_sf(f_stat, p, df2) > alpha  # not significant -> merge
+
+
+# ------------------------------------------------------------ K7 dynamic rmse
+
+
+def dynamic_rmse(
+    t: np.ndarray, resid: np.ndarray, t_now: float, k: int = 24, period: float = PERIOD_DAYS
+) -> float:
+    """K7: rmse from the ``k`` observations nearest in day-of-year to
+    ``t_now`` — seasonal heteroskedasticity guard."""
+    if t.size <= k:
+        return rmse(resid)
+    doy = np.mod(t, period)
+    d_now = math.fmod(t_now, period)
+    dist = np.abs(doy - d_now)
+    dist = np.minimum(dist, period - dist)
+    idx = np.argsort(dist, kind="stable")[:k]
+    return rmse(resid[idx])
+
+
+# ------------------------------------------------------- the segmenter K5+K6
+
+
+@dataclass
+class Segment:
+    start_t: float
+    end_t: float
+    break_t: float  # nan if no break closed this segment
+    n_obs: int
+    coef: np.ndarray
+    rmse: float
+    magnitude: float  # mean residual of the triggering run (nan if no break)
+    status: str  # 'stable' | 'broken' | 'insufficient'
+
+    def final_fit(
+        self, t: np.ndarray, X: np.ndarray, y: np.ndarray, params: CCDCParams
+    ) -> None:
+        """Fit the emitted coefficients on the segment's screened obs."""
+        if params.screen == "tmask" and t.size >= 2 * params.min_obs:
+            wk = tmask_screen(t, y, params.screen_crit, params.harmonic_order, params.period)
+            if int(wk.sum()) >= params.min_obs:
+                X, y = X[wk], y[wk]
+        if params.lasso_alpha > 0:
+            self.coef = lasso_cd(X, y, params.lasso_alpha)
+        else:
+            self.coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+        self.rmse = rmse(y - X @ self.coef)
+
+
+@dataclass
+class _Fit:
+    coef: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    rmse: float = 0.0
+
+
+def fit_series(
+    t: np.ndarray, y: np.ndarray, params: CCDCParams = CCDCParams()
+) -> list[Segment]:
+    """K5+K6: full CCDC loop over one (already time-sorted) series.
+
+    train: slide the window start until the first ``min_obs`` observations
+    are stable (|slope|·span/rmse and edge residuals below threshold);
+    monitor: score each new obs |y-ŷ|/max(rmse, min_rmse); ``consecutive``
+    successive exceedances declare a break at the first of the run;
+    refit absorbed obs every ``retrain_time`` days.  Optional post-pass:
+    Chow merge (K9) and CUSUM omission flagging (K8).
+    """
+    t = np.asarray(t, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    order = np.argsort(t, kind="stable")
+    t, y = t[order], y[order]
+
+    # K10 screening happens per training window / per segment fit, NOT
+    # globally: a global robust screen would flag everything after a genuine
+    # level shift as outliers and erase the break (the reference applies
+    # multitemp_mask inside train() for the same reason [U]).  The cheap
+    # location-only MAD variant is offered as an explicit global mode.
+    if params.screen == "mad":
+        keep = mad_screen(y, params.screen_crit)
+        t, y = t[keep], y[keep]
+    n = t.size
+
+    if n < params.min_obs:
+        return [
+            Segment(
+                start_t=float(t[0]) if n else math.nan,
+                end_t=float(t[-1]) if n else math.nan,
+                break_t=math.nan,
+                n_obs=int(n),
+                coef=np.zeros(2 + 2 * params.harmonic_order),
+                rmse=math.nan,
+                magnitude=math.nan,
+                status="insufficient",
+            )
+        ]
+
+    X = harmonic_design(t, params.harmonic_order, params.period)
+    segments: list[Segment] = []
+    i = 0
+
+    while n - i >= params.min_obs:
+        i0 = i  # start of this training attempt (tail anchor if never stable)
+        # ---- K5 train: find a stable start window with enough obs AND span
+        stable = False
+        while n - i >= params.min_obs:
+            j = i + params.min_obs
+            while j <= n and t[j - 1] - t[i] < params.min_span:
+                j += 1
+            if j > n:
+                break  # can't span min_span from this start
+            Xw, yw = X[i:j], y[i:j]
+            # K10: screen outliers WITHIN the candidate window before fitting
+            if params.screen == "tmask":
+                wk = tmask_screen(
+                    t[i:j], yw, params.screen_crit, params.harmonic_order, params.period
+                )
+                if int(wk.sum()) < params.min_obs:
+                    i += 1
+                    continue
+            else:
+                wk = np.ones(j - i, dtype=bool)
+            coef, *_ = np.linalg.lstsq(Xw[wk], yw[wk], rcond=None)
+            resid = yw[wk] - Xw[wk] @ coef
+            r = max(rmse(resid), params.min_rmse)
+            span = max(t[j - 1] - t[i], _EPS)
+            slope_ok = abs(coef[1]) * span / r < params.threshold
+            edges_ok = abs(resid[0]) / r < params.threshold and abs(resid[-1]) / r < params.threshold
+            if slope_ok and edges_ok:
+                stable = True
+                break
+            # not stable: drop the first observation of the window
+            i += 1
+        if not stable:
+            # CCDC proper emits nothing for a span that never stabilizes
+            # (continuous change); for web series we keep the information:
+            # one 'unstable' segment fitted over the remainder, no break.
+            if n - i0 >= params.min_obs:
+                seg = Segment(
+                    start_t=float(t[i0]),
+                    end_t=float(t[n - 1]),
+                    break_t=math.nan,
+                    n_obs=int(n - i0),
+                    coef=np.zeros(X.shape[1]),
+                    rmse=math.nan,
+                    magnitude=math.nan,
+                    status="unstable",
+                )
+                seg.final_fit(t[i0:n], X[i0:n], y[i0:n], params)
+                segments.append(seg)
+            i = n
+            break
+
+        fit = _Fit(coef=coef, rmse=max(rmse(y[i:j] - X[i:j] @ coef), params.min_rmse))
+        last_refit_t = t[j - 1]
+        consec = 0
+        run_resid: list[float] = []
+        break_idx = -1
+
+        # ---- K6 monitor
+        k = j
+        while k < n:
+            pred = X[k] @ fit.coef
+            resid_k = y[k] - pred
+            score = abs(resid_k) / max(fit.rmse, params.min_rmse)
+            if score > params.threshold:
+                consec += 1
+                run_resid.append(resid_k)
+                if consec >= params.consecutive:
+                    break_idx = k - params.consecutive + 1
+                    break
+            else:
+                consec = 0
+                run_resid.clear()
+                # absorb obs; refit on retrain cadence
+                if t[k] - last_refit_t >= params.retrain_time:
+                    coef2, *_ = np.linalg.lstsq(X[i : k + 1], y[i : k + 1], rcond=None)
+                    fit.coef = coef2
+                    fit.rmse = max(rmse(y[i : k + 1] - X[i : k + 1] @ coef2), params.min_rmse)
+                    last_refit_t = t[k]
+            k += 1
+
+        if break_idx >= 0:
+            seg_end = break_idx  # segment covers [i, break_idx)
+            seg = Segment(
+                start_t=float(t[i]),
+                end_t=float(t[seg_end - 1]),
+                break_t=float(t[break_idx]),
+                n_obs=int(seg_end - i),
+                coef=fit.coef,
+                rmse=fit.rmse,
+                magnitude=float(np.mean(run_resid)),
+                status="broken",
+            )
+            seg.final_fit(t[i:seg_end], X[i:seg_end], y[i:seg_end], params)
+            segments.append(seg)
+            i = break_idx
+        else:
+            seg = Segment(
+                start_t=float(t[i]),
+                end_t=float(t[n - 1]),
+                break_t=math.nan,
+                n_obs=int(n - i),
+                coef=fit.coef,
+                rmse=fit.rmse,
+                magnitude=math.nan,
+                status="stable",
+            )
+            seg.final_fit(t[i:n], X[i:n], y[i:n], params)
+            segments.append(seg)
+            i = n
+            break
+
+    if not segments:
+        return [
+            Segment(
+                start_t=float(t[0]),
+                end_t=float(t[-1]),
+                break_t=math.nan,
+                n_obs=int(n),
+                coef=np.zeros(X.shape[1]),
+                rmse=math.nan,
+                magnitude=math.nan,
+                status="insufficient",
+            )
+        ]
+
+    # ---- K9 commission merge (optional)
+    if params.commission_alpha > 0:
+        segments = _merge_commission(segments, t, y, X, params)
+
+    # ---- K8 omission flag (optional): mark segments hiding a break
+    if params.omission_alpha > 0:
+        for seg in segments:
+            m = (t >= seg.start_t) & (t <= seg.end_t)
+            if m.sum() > X.shape[1] + 4 and cusum_omission(X[m], y[m], params.omission_alpha):
+                seg.status = seg.status + "+omission"
+
+    return segments
+
+
+def _merge_commission(
+    segments: list[Segment], t: np.ndarray, y: np.ndarray, X: np.ndarray, params: CCDCParams
+) -> list[Segment]:
+    """K9: merge adjacent segments whose break fails the Chow test."""
+    out = [segments[0]]
+    for nxt in segments[1:]:
+        cur = out[-1]
+        m1 = (t >= cur.start_t) & (t <= cur.end_t)
+        m2 = (t >= nxt.start_t) & (t <= nxt.end_t)
+        if chow_commission(X[m1], y[m1], X[m2], y[m2], params.commission_alpha):
+            merged = Segment(
+                start_t=cur.start_t,
+                end_t=nxt.end_t,
+                break_t=nxt.break_t,
+                n_obs=cur.n_obs + nxt.n_obs,
+                coef=cur.coef,
+                rmse=cur.rmse,
+                magnitude=nxt.magnitude,
+                status=nxt.status,
+            )
+            mm = m1 | m2
+            merged.final_fit(t[mm], X[mm], y[mm], params)
+            out[-1] = merged
+        else:
+            out.append(nxt)
+    return out

@@ -32,7 +32,11 @@ TIERS = {"1h": "1 hour", "1d": "1 day", "30d": "30 days"}
 # seconds per tier (30d tier is a fixed 30-day epoch-aligned bucket)
 TIER_SECONDS = {"1h": 3600, "1d": 86400, "30d": 30 * 86400}
 
-CORE_COLS = ["url", "bucket_ts", "cnt", "sum_len", "mean_len", "min_len", "max_len"]
+# sum_ts = sum of observation unix epochs: lets downstream model fits use
+# the true mean observation time per bucket instead of the bucket label
+# (an obs at 23:59 belongs to this bucket but NOT at this bucket's start
+# time — fitting at the label aliases any sub-period signal).
+CORE_COLS = ["url", "bucket_ts", "cnt", "sum_len", "mean_len", "min_len", "max_len", "sum_ts"]
 
 
 def series_clean(crawl: DataFrame) -> DataFrame:
@@ -82,6 +86,7 @@ def rollup(clean: DataFrame, tier: str = "1h") -> DataFrame:
         F.sum("text_len").alias("sum_len"),
         F.min("text_len").alias("min_len"),
         F.max("text_len").alias("max_len"),
+        F.sum(F.unix_timestamp("warc_ts")).alias("sum_ts"),
     )
     return (
         by_lang.groupBy("url", "bucket_ts")
@@ -90,6 +95,7 @@ def rollup(clean: DataFrame, tier: str = "1h") -> DataFrame:
             F.sum("sum_len").alias("sum_len"),
             F.min("min_len").alias("min_len"),
             F.max("max_len").alias("max_len"),
+            F.sum("sum_ts").alias("sum_ts"),
             F.map_from_entries(
                 F.sort_array(F.collect_list(F.struct("lang", "cnt")))
             ).alias("lang_dist"),
@@ -114,6 +120,7 @@ def cascade(finer: DataFrame, tier: str) -> DataFrame:
         F.sum("sum_len").alias("sum_len"),
         F.min("min_len").alias("min_len"),
         F.max("max_len").alias("max_len"),
+        F.sum("sum_ts").alias("sum_ts"),
     )
     langs = (
         real.select(
@@ -173,6 +180,7 @@ def gap_fill(tier_df: DataFrame, tier: str) -> DataFrame:
         .withColumn("mean_len", F.lit(None).cast("double"))
         .withColumn("min_len", F.lit(None).cast("long"))
         .withColumn("max_len", F.lit(None).cast("long"))
+        .withColumn("sum_ts", F.lit(None).cast("long"))
         .withColumn("lang_dist", F.lit(None).cast("map<string,bigint>"))
         .withColumn("gap_filled", F.lit(True))
         .select(*CORE_COLS, "lang_dist", "gap_filled")

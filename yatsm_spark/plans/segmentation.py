@@ -1,0 +1,114 @@
+"""Distributed CCDC segmentation: groupBy(url).applyInPandas over the kernels.
+
+The Spark-side analog of the reference's per-pixel loop in
+yatsm/cli/line.py + algorithms/ccdc.py::CCDCesque.fit [U] — one Arrow batch
+per url series, pure-numpy kernels inside (functions/ccdc.py), structured
+``segments`` rows out (SURVEY.md §1.2 segments schema).
+
+Scale notes:
+  * ONE shuffle (hash on url).  Group size is bounded by construction when
+    the input is a rollup tier (a decade of 1d buckets is ~3.7k rows), so a
+    group always fits an Arrow batch; ``max_group_rows`` guards against
+    feeding raw hourly series of giant urls by accident — such groups are
+    DOWN-SAMPLED deterministically (every k-th obs) rather than silently
+    truncated, and flagged in ``status``.
+  * The kernels are O(n·k²) per group and embarrassingly parallel across
+    urls — exactly the reference's parallelism model, minus its external
+    process scheduler (Spark tasks replace GNU parallel).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yatsm_spark.functions.ccdc import CCDCParams, fit_series
+
+SEGMENTS_SCHEMA = (
+    "url string, seg_id int, start_ts timestamp, end_ts timestamp, "
+    "break_ts timestamp, n_obs int, coef array<double>, rmse double, "
+    "magnitude double, status string"
+)
+
+_SECONDS_PER_DAY = 86400.0
+
+
+def _days_to_ts(days: float):
+    if days is None or (isinstance(days, float) and math.isnan(days)):
+        return pd.NaT
+    # round to whole microseconds: Arrow's safe ns->us cast rejects the
+    # sub-us residue float arithmetic leaves behind
+    return pd.Timestamp(round(days * _SECONDS_PER_DAY * 1e6), unit="us")
+
+
+def make_segmenter(params: CCDCParams, ts_col: str, value_col: str, max_group_rows: int = 50_000):
+    """Build the per-group pandas function (closure keeps params picklable)."""
+
+    def segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        url = pdf["url"].iloc[0]
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        downsampled = False
+        if len(pdf) > max_group_rows:
+            stride = math.ceil(len(pdf) / max_group_rows)
+            pdf = pdf.iloc[::stride]
+            downsampled = True
+        t = pdf[ts_col].astype("int64").to_numpy() / 1e9 / _SECONDS_PER_DAY
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(y)
+        segs = fit_series(t[ok], y[ok], params)
+        rows = []
+        for sid, s in enumerate(segs):
+            status = s.status + ("+downsampled" if downsampled else "")
+            rows.append(
+                {
+                    "url": url,
+                    "seg_id": sid,
+                    "start_ts": _days_to_ts(s.start_t),
+                    "end_ts": _days_to_ts(s.end_t),
+                    "break_ts": _days_to_ts(s.break_t),
+                    "n_obs": s.n_obs,
+                    "coef": [float(c) for c in s.coef],
+                    "rmse": None if math.isnan(s.rmse) else float(s.rmse),
+                    "magnitude": None if math.isnan(s.magnitude) else float(s.magnitude),
+                    "status": status,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return segment_group
+
+
+def segment_series(
+    series: DataFrame,
+    params: CCDCParams | None = None,
+    ts_col: str = "bucket_ts",
+    value_col: str = "mean_len",
+) -> DataFrame:
+    """Run CCDC segmentation per url over a (url, ts, value) DataFrame.
+
+    Typical input: ``rollup(clean, '1d')`` with gap rows excluded — the
+    1d tier bounds group size and regularizes cadence, mirroring how the
+    reference fits on per-date composites.
+    """
+    params = params or CCDCParams()
+    src = series
+    if "gap_filled" in series.columns:
+        src = src.filter(~F.col("gap_filled"))
+    # Rollup tiers carry sum_ts (sum of obs epochs): fit at the TRUE mean
+    # observation time per bucket, not the bucket label — an obs at 23:59
+    # lands in this bucket but a day from its start, which would alias any
+    # signal with period near the tier width.
+    if ts_col == "bucket_ts" and {"sum_ts", "cnt"} <= set(src.columns):
+        src = src.withColumn(
+            "_obs_ts",
+            F.timestamp_seconds((F.col("sum_ts") / F.col("cnt")).cast("double")),
+        )
+        ts_col = "_obs_ts"
+    src = src.select("url", ts_col, value_col)
+    return src.groupBy("url").applyInPandas(
+        make_segmenter(params, ts_col, value_col), schema=SEGMENTS_SCHEMA
+    )

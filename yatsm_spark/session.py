@@ -43,6 +43,14 @@ def get_spark(
     AQE has room to coalesce — on a real cluster pass an explicit value
     sized to the input (~128 MB per post-shuffle partition).
     """
+    # local-mode Python workers must be able to import yatsm_spark no matter
+    # where the driver was launched from; on a real cluster this is replaced
+    # by spark-submit --py-files engine.zip (jobs/README).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_root + (os.pathsep + pypath if pypath else "")
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
