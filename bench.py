@@ -1,0 +1,94 @@
+"""Headline benchmark (driver contract).
+
+Runs a representative subset of __spark_entry__.queries() at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (count() would let
+Catalyst prune the projections we mean to measure).  Also reports the crawl
+rollup tier throughput (rolled-up points/sec, BASELINE.md metric) computed
+from the tier row counts; the N-vs-4N scaling-efficiency evidence lives in
+scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from yatsm_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "rollup_1h",
+    "cascade_1d",
+    "cascade_30d",
+    "gap_fill_1h",
+    "locf_1h",
+    "sessionize_30m",
+    "window_deltas",
+    "asof_prev_purchase",
+    "topk_users",
+    "pricing_summary",
+    "bcast_revenue_by_nation",
+    "semi_join_highvalue",
+    "anti_join_orders_no_hiqty",
+    "docs_exact_dedup",
+    "docs_text_quality",
+    "docs_lang_id",
+    "docs_minhash_sigs",
+    "docs_simhash32",
+    "docs_jaccard_pairs",
+    "emb_norms",
+    "emb_ann_topk",
+    "ccdc_segments_synth",
+]
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("yatsm_spark_bench")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        run_query(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # tier throughput: rolled-up points/sec for the 1h tier over events
+    # (BASELINE.md metric; the crawl-table variant is in bench_scaling.py)
+    from yatsm_spark.operators.series import rollup_series
+
+    t0 = time.time()
+    tier = rollup_series(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "1h", ("user_id",), "ts", "value"
+    )
+    n_points = tier.count()
+    tier_sec = time.time() - t0
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rollup_points_per_sec_1h": round(n_points / max(tier_sec, 1e-9), 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Dedup / similarity / text-analysis operators — semantic unit tests.
+Cross-engine (DuckDB) parity for the same ops is covered by
+__spark_entry__ + scripts/check_oracle.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from yatsm_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_rows,
+    simhash_docs,
+)
+from yatsm_spark.operators.similarity import brute_topk, lsh_bucket_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different text about spark engines here"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "tiny"),  # < 3 tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = exact_dedup(docs).collect()
+    dup = [r for r in out if r["n_docs"] == 2]
+    assert len(dup) == 1 and dup[0]["keeper_id"] == 0
+    assert len(out) == 4  # 5 docs, one pair collapsed
+
+
+def test_shingle_rows_counts(docs):
+    sh = shingle_rows(docs, 3)
+    counts = {r["id"]: r["cnt"] for r in sh.groupBy("id").agg(F.count("*").alias("cnt")).collect()}
+    assert counts[0] == 7  # 9 tokens -> 7 trigrams, all distinct
+    assert 4 not in counts  # no shingles for 1-token doc
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, 3, 0.3).collect()}
+    assert pairs[(0, 3)] == 1.0  # exact dup
+    assert 0.4 < pairs[(0, 1)] < 1.0  # near dup shares 6/8 trigrams
+    assert (0, 2) not in pairs
+
+
+def test_minhash_identical_sigs_for_dups(docs):
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[2]
+    assert len(sigs[0]) == 16
+    pairs = {(r["id_a"], r["id_b"]): r["sig_sim"] for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs[(0, 3)] == 1.0
+
+
+def test_simhash_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs, bits=32).collect()}
+    assert sh[0] == sh[3]
+    ham = bin(sh[0] ^ sh[1]).count("1")
+    ham_far = bin(sh[0] ^ sh[2]).count("1")
+    assert ham < ham_far  # near-dup closer in Hamming space
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_topk_order(vectors):
+    out = brute_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["n_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_lsh_topk_finds_close_neighbor(vectors):
+    out = lsh_bucket_topk(vectors, vectors.filter(F.col("vec_id") == 0), dim=3, k=2, n_planes=4)
+    got = [r["n_id"] for r in out.collect()]
+    assert 1 in got  # same-octant neighbor always shares the bucket
+    assert 4 not in got  # opposite vector can never share all sign bits

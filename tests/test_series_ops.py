@@ -1,0 +1,102 @@
+"""Generic series operators (operators/series.py) — unit tests on tiny
+in-memory frames; SQL-oracle parity is covered by __spark_entry__ +
+scripts/check_oracle.py at sf0.01."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from yatsm_spark.operators.series import (
+    asof_prev_event,
+    cascade_series,
+    gap_fill_series,
+    locf_series,
+    rollup_series,
+    sessionize,
+    top_k_keys,
+)
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 10), 10.0),
+        ("a", datetime(2024, 1, 1, 0, 50), 30.0),
+        ("a", datetime(2024, 1, 1, 1, 5), 20.0),
+        # gap: hours 2..3 missing
+        ("a", datetime(2024, 1, 1, 4, 0), 40.0),
+        ("b", datetime(2024, 1, 2, 12, 0), 5.0),
+    ]
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp, v double")
+
+
+def test_rollup_series_buckets(series_df):
+    out = rollup_series(series_df, "1h", ("url",), "warc_ts", "v").collect()
+    by_key = {(r["url"], r["bucket_ts"].isoformat()): r for r in out}
+    r0 = by_key[("a", "2024-01-01T00:00:00")]
+    assert r0["cnt"] == 2 and r0["sum_val"] == 40.0 and r0["mean_val"] == 20.0
+    assert r0["min_val"] == 10.0 and r0["max_val"] == 30.0
+    assert len(out) == 4
+
+
+def test_cascade_exact(series_df):
+    h1 = rollup_series(series_df, "1h", ("url",), "warc_ts", "v")
+    d1 = cascade_series(h1, "1d", ("url",))
+    direct = rollup_series(series_df, "1d", ("url",), "warc_ts", "v")
+    assert sorted(map(tuple, d1.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_gap_fill_and_locf(series_df):
+    h1 = rollup_series(series_df, "1h", ("url",), "warc_ts", "v")
+    filled = gap_fill_series(h1, "1h", ("url",))
+    rows = filled.filter(F.col("url") == "a").orderBy("bucket_ts").collect()
+    # hours 0,1,2,3,4 — complete grid between first and last bucket
+    assert [r["bucket_ts"].hour for r in rows] == [0, 1, 2, 3, 4]
+    assert [r["gap_filled"] for r in rows] == [False, False, True, True, False]
+    assert all(r["cnt"] == 0 for r in rows if r["gap_filled"])
+    locf = locf_series(filled, ("mean_val",), ("url",))
+    vals = [r["mean_val_locf"] for r in locf.filter(F.col("url") == "a").orderBy("bucket_ts").collect()]
+    assert vals == [20.0, 20.0, 20.0, 20.0, 40.0]
+
+
+def test_sessionize_gap_rule(spark):
+    rows = [
+        ("u", datetime(2024, 1, 1, 0, 0)),
+        ("u", datetime(2024, 1, 1, 0, 10)),
+        ("u", datetime(2024, 1, 1, 2, 0)),  # > 30 min gap -> new session
+        ("u", datetime(2024, 1, 1, 2, 20)),
+        ("v", datetime(2024, 1, 1, 5, 0)),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    out = sessionize(df, 1800, ("url",), "warc_ts").collect()
+    u = sorted((r["warc_ts"], r["session_id"]) for r in out if r["url"] == "u")
+    assert [s for _, s in u] == [1, 1, 2, 2]
+    assert [r["session_id"] for r in out if r["url"] == "v"] == [1]
+
+
+def test_asof_prev_event(spark):
+    rows = [
+        ("u", datetime(2024, 1, 1, 0, 0), "x"),
+        ("u", datetime(2024, 1, 1, 1, 0), "hit"),
+        ("u", datetime(2024, 1, 1, 2, 0), "x"),
+        ("u", datetime(2024, 1, 1, 3, 0), "x"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, kind string")
+    out = (
+        asof_prev_event(df, F.col("kind") == "hit", ("url",), "warc_ts")
+        .orderBy("warc_ts")
+        .collect()
+    )
+    assert out[0]["asof_ts"] is None
+    assert all(r["asof_ts"] == datetime(2024, 1, 1, 1, 0) for r in out[1:])
+
+
+def test_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",)], "url string"
+    )
+    out = top_k_keys(df, 2, ("url",)).collect()
+    assert [(r["url"], r["cnt"]) for r in out] == [("a", 2), ("b", 2)]

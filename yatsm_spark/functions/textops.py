@@ -1,0 +1,165 @@
+"""Text-analysis + deduplication column builders (pure Spark expressions).
+
+Training-data-pipeline operators over `documents`-shaped tables — all
+JVM-side `pyspark.sql.functions` compositions (whole-stage codegen, no
+Python in the hot path):
+
+  * :func:`tokens` / :func:`token_stats`   — token counting + quality scoring
+  * :func:`lang_id_score`                  — n-gram-heuristic language ID
+  * :func:`fingerprint`                    — md5 document fingerprint
+  * :func:`shingles`                       — word k-shingles for Jaccard/MinHash
+  * :func:`portable_hash64`                — md5-derived 32-bit-range hash that
+    DuckDB reproduces exactly (`('0x'||substr(md5(x),1,8))::BIGINT`) — used
+    wherever an oracle must recompute our hashes; xxhash64 stays the fast
+    path where no cross-engine parity is needed
+  * :func:`minhash_sig`                    — MinHash signature (n hash fns)
+  * :func:`simhash64`                      — 64-bit SimHash of the token set
+
+Reference analog: none — YATSM is numeric-only; these are the axis-A
+(webtext payload) operators the 100 TB training-data pipeline needs
+(task brief: dedup / text analysis as first-class components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Large prime < 2^31 for portable modular hashing (fits exactly in both
+# engines' BIGINT arithmetic; md5 prefix is 32 bits so no overflow).
+_PRIME = 2147483647
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization — `split` on single space keeps semantics
+    identical in DuckDB's string_split (both preserve empty tokens, but our
+    generator emits single-spaced text)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def token_stats(text_col: str = "text") -> list[Column]:
+    """Quality scoring: token count, mean token length, uppercase ratio,
+    digit ratio — all codegen'd expressions."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    return [
+        n_tok.alias("n_tokens"),
+        F.round((n_chars - n_tok + 1) / n_tok, 4).alias("mean_tok_len"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")) / n_chars, 4
+        ).alias("digit_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), "[^A-Z]", "")) / n_chars, 4
+        ).alias("upper_ratio"),
+    ]
+
+
+# Tiny per-language stopword marker sets for the n-gram heuristic lang ID.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "a", "to"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def lang_id_score(text_col: str = "text") -> Column:
+    """Language-ID heuristic: the language whose marker-word hit count is
+    highest ('und' when all zero).  array_max over (score, lang) structs —
+    deterministic tie-break by lang string order baked into the struct."""
+    toks = tokens(text_col)
+
+    def _eq(word: str):
+        # factory, NOT a default-arg lambda: PySpark dispatches higher-order
+        # lambdas on parameter COUNT, so extra default args break arity.
+        return lambda t: t == word
+
+    entries = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        score = None
+        for m in markers:
+            hit = F.size(F.filter(toks, _eq(m)))
+            score = hit if score is None else score + hit
+        entries.append(F.struct(score.alias("s"), F.lit(lang).alias("l")))
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Document fingerprint: md5 hex (portable to every SQL engine)."""
+    return F.md5(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Word k-shingles as an array<string> — k consecutive tokens joined by
+    a single space; empty array when fewer than k tokens.
+
+    Built with transform over a 0..n-k index sequence (codegen'd, no UDF).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(n >= k, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def portable_hash64(col: Column, salt: int | None = None) -> Column:
+    """32-bit-range hash reproducible bit-for-bit in DuckDB:
+    Spark  : conv(substr(md5(concat(x, '#', salt)), 1, 8), 16, 10)::bigint
+    DuckDB : ('0x' || substr(md5(x || '#' || salt), 1, 8))::BIGINT
+    (verified identical this session)."""
+    x = col if salt is None else F.concat(col, F.lit(f"#{salt}"))
+    return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_sig(shingle_col: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: array of n minima of (a_i*h + b_i) mod PRIME over
+    the shingle set, h = portable md5-derived hash.  One codegen'd
+    expression per hash fn — no UDF, no shuffle.
+
+    Scale note: signature computation is map-side; the LSH band join that
+    consumes it is where the shuffle happens (operators/dedup.py).
+    """
+    base = F.transform(shingle_col, lambda s: portable_hash64(s))
+
+    def _perm(a: int, b: int):
+        return lambda h: (h * a + b) % _PRIME
+
+    sigs = []
+    for i in range(n_hashes):
+        sigs.append(F.array_min(F.transform(base, _perm(2 * i + 1, 7919 * (i + 1)))))
+    return F.array(*sigs)
+
+
+def simhash64(text_col: str = "text", bits: int = 64) -> Column:
+    """SimHash: for each bit b, sum over distinct tokens of +/-1 according
+    to bit b of the token hash; bit set iff the sum is positive.
+
+    Uses two independent 32-bit portable hashes for the low/high 32 bits so
+    an oracle can reproduce it without 64-bit hex parsing.  aggregate() over
+    the token array keeps everything in one codegen'd projection.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    h_lo = F.transform(toks, lambda t: portable_hash64(t))
+    h_hi = F.transform(toks, lambda t: portable_hash64(t, salt=1))
+
+    def _vote(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit) % 2 == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        src = h_lo if b < 32 else h_hi
+        vote = F.aggregate(src, F.lit(0).cast("bigint"), _vote(b % 32))
+        weight = (
+            F.lit(2 ** b).cast("bigint") if b < 63 else F.lit(-(2 ** 63)).cast("bigint")
+        )
+        out = out + F.when(vote > 0, weight).otherwise(F.lit(0).cast("bigint"))
+    return out

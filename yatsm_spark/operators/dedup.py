@@ -1,0 +1,216 @@
+"""Deduplication operators over `documents`-shaped tables.
+
+Training-data-pipeline dedup family (task brief first-class components):
+
+  * :func:`exact_dedup`        — hash-groupBy exact dedup (md5 fingerprint)
+  * :func:`ngram_jaccard_pairs`— n-gram-shingle Jaccard near-dup pairs
+  * :func:`minhash_lsh_pairs`  — MinHash + LSH banding candidate pairs
+  * :func:`simhash_docs`       — SimHash fingerprints (Hamming-dup scan)
+
+Scale notes (100 TB design):
+  * exact_dedup: one shuffle on the 16-byte fingerprint — the canonical
+    first pass; always run before any near-dup stage to shrink the input.
+  * ngram_jaccard_pairs: explode(shingles) self-join — the shuffle key is
+    the shingle, so frequency-skewed shingles explode the join.  The
+    ``max_shingle_freq`` guard drops shingles appearing in more than N docs
+    (stopword shingles carry no dedup signal but dominate the pair count);
+    this is the standard scalable formulation (cf. MinHash banding which
+    bounds pairs by construction).
+  * minhash_lsh_pairs: signature is map-side (functions/textops.py); only
+    (band_id, band_hash) buckets shuffle — pair candidates are bounded by
+    bucket collisions, then verified with exact signature similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from yatsm_spark.functions.textops import (
+    _PRIME,
+    fingerprint,
+    portable_hash64,
+    simhash64,
+)
+
+
+def shingle_rows(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word k-shingles as rows (id, s) via posexplode + lead.
+
+    One window shuffle on the doc id, linear work per token.  This beats
+    the pure-expression array form (functions/textops.py::shingles) by ~5x
+    at 5k docs because Catalyst re-inlines the split() into every
+    element_at, making the array form O(tokens^2) per row.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(F.split(text_col, " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    cur = [F.col("t")] + [F.lead("t", j).over(w).alias(f"_t{j}") for j in range(1, k)]
+    sh = tok.select("id", *cur).filter(F.col(f"_t{k-1}").isNotNull())
+    return sh.select(
+        "id", F.concat_ws(" ", "t", *[f"_t{j}" for j in range(1, k)]).alias("s")
+    ).distinct()
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup groups: fingerprint -> keeper (min id) + duplicate count.
+
+    One hash shuffle on the fingerprint; min/count are algebraic so
+    map-side partial aggregation absorbs hot fingerprints.
+    """
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by k-shingle Jaccard similarity >= threshold.
+
+    explode -> self-join on shingle -> pair intersection counts ->
+    |A∪B| = |A| + |B| - |A∩B|.  Returns (id_a, id_b, jaccard) with
+    id_a < id_b.  ``max_shingle_freq`` prunes super-frequent shingles
+    before the join (scale guard; None = exact).
+    """
+    ex = shingle_rows(docs, k, id_col, text_col)
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("s").agg(F.count("*").alias("f"))
+        ex = ex.join(freq.filter(F.col("f") <= max_shingle_freq), "s", "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures via explode + one hash-aggregate shuffle.
+
+    (id, sig: array<bigint>[n_hashes]).  The n minima are n algebraic
+    ``min`` aggregates over the exploded shingle hashes — partial agg
+    absorbs them map-side, and the plan stays a single shallow expression
+    per hash fn (the pure-expression array formulation in
+    functions/textops.py::minhash_sig duplicates the shingle subtree
+    n_hashes times and chokes codegen at width 16 — measured 226s vs 3s on
+    500 docs).  Docs with fewer than k tokens have no shingles and are
+    dropped (no signature is defined for an empty set).
+    """
+    ex = shingle_rows(docs, k, id_col, text_col).select(
+        "id", portable_hash64(F.col("s")).alias("hv")
+    )
+    aggs = [
+        F.min((F.col("hv") * (2 * i + 1) + 7919 * (i + 1)) % _PRIME).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        ex.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"_h{i}" for i in range(n_hashes)]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding: candidate pairs whose signatures collide in
+    at least one band, with the exact signature-agreement fraction.
+
+    Returns (id_a, id_b, sig_sim).  rows-per-band shuffle is n_docs*bands;
+    the join key (band_id, band signature slice) bounds candidates.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", bi * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "sig", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(agree / F.lit(n_hashes), 4).alias("sig_sim")
+    )
+
+
+def simhash_docs(
+    docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc SimHash fingerprint (map-side only, no shuffle)."""
+    return docs.select(F.col(id_col), simhash64(text_col, bits).alias("simhash"))

@@ -1,0 +1,235 @@
+"""Generic per-key time-series operators (column-name-agnostic).
+
+The crawl-specific pipeline lives in :mod:`yatsm_spark.operators.rollup`
+(fixed crawl schema + lang_dist maps).  This module is the same operator
+family over ANY (key, ts, value) series table — used by the driver-contract
+queries over ``events`` and by jobs that roll up arbitrary series.
+
+Operators (SURVEY.md §2.4):
+  * :func:`rollup_series`  — A1 tumbling-window numeric rollup
+  * :func:`cascade_series` — A2 exact tier re-aggregation
+  * :func:`gap_fill_series`— A4 materialize missing buckets (cnt=0)
+  * :func:`locf_series`    — A4 last-observation-carried-forward
+  * :func:`sessionize`     — A8 gap-rule session ids (window cumsum)
+  * :func:`asof_prev_event`— J3 as-of lookup realized as a running window
+  * :func:`window_deltas`  — A14 lag/lead/row_number analytics
+  * :func:`top_k_keys`     — A9 heavy-hitter keys (TakeOrderedAndProject)
+
+Scale notes (100 TB design):
+  * Every operator here is a single shuffle on its key (hash agg or window);
+    partial aggregation absorbs skew map-side for the algebraic aggs.
+  * Tier schemas carry cnt+sum so coarser tiers cascade EXACTLY
+    (mean re-derived; never avg-of-avgs).
+  * ``gap_fill_series`` generates fill rows from each gap via
+    lead()+sequence()+explode — cost scales with the number of GAPS, not
+    with the dense grid size (critical when most series are dense).
+
+Reference analog: YATSM consumes raw irregular series and has no rollup;
+these implement the north_star continuous aggregates (BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from yatsm_spark.operators.rollup import TIER_SECONDS
+
+AGG_COLS = ["cnt", "sum_val", "mean_val", "min_val", "max_val"]
+
+
+def bucket_col(ts_col: str, tier: str) -> F.Column:
+    """Epoch-aligned tumbling bucket start (same arithmetic as
+    ``F.window(ts, interval)``, origin 1970-01-01 UTC, exposed as a plain
+    timestamp so it cascades / joins / oracle-checks trivially)."""
+    secs = TIER_SECONDS[tier]
+    return F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs).cast("long")
+    )
+
+
+def rollup_series(
+    df: DataFrame,
+    tier: str,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "warc_ts",
+    value_col: str = "text_len",
+) -> DataFrame:
+    """A1: per (key, bucket) count/sum/mean/min/max of ``value_col``.
+
+    One shuffle; Spark plans partial HashAggregate -> Exchange -> final
+    HashAggregate, so map-side combine does most of the work for hot keys.
+    """
+    return (
+        df.groupBy(*key_cols, bucket_col(ts_col, tier).alias("bucket_ts"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(value_col).alias("sum_val"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+        )
+        .withColumn("mean_val", F.col("sum_val") / F.col("cnt"))
+        .select(*key_cols, "bucket_ts", *AGG_COLS)
+    )
+
+
+def cascade_series(
+    finer: DataFrame, tier: str, key_cols: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """A2: re-aggregate a finer tier into ``tier`` EXACTLY (cnt/sum/min/max
+    compose; mean re-derived).  Gap rows (cnt=0), if present, are excluded
+    so fills never pollute coarser tiers."""
+    src = finer.filter(F.col("cnt") > 0) if "cnt" in finer.columns else finer
+    return (
+        src.groupBy(*key_cols, bucket_col("bucket_ts", tier).alias("bucket_ts"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+        .withColumn("mean_val", F.col("sum_val") / F.col("cnt"))
+        .select(*key_cols, "bucket_ts", *AGG_COLS)
+    )
+
+
+def gap_fill_series(
+    tier_df: DataFrame, tier: str, key_cols: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """A4: materialize missing buckets between each key's first and last
+    observed bucket as cnt=0 rows flagged ``gap_filled = true``.
+
+    Join-free: lead() over one window shuffle, then sequence()+explode
+    generates fill rows map-side — scales with gap count, not grid size.
+    """
+    secs = TIER_SECONDS[tier]
+    w = Window.partitionBy(*key_cols).orderBy("bucket_ts")
+    step = F.make_interval(secs=F.lit(float(secs)))
+    gaps = (
+        tier_df.withColumn("_next", F.lead("bucket_ts").over(w))
+        .filter(
+            F.col("_next").isNotNull()
+            & (F.unix_timestamp("_next") - F.unix_timestamp("bucket_ts") > secs)
+        )
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("bucket_ts") + step, F.col("_next") - step, step)
+            ).alias("bucket_ts"),
+        )
+        .withColumn("cnt", F.lit(0).cast("long"))
+        .withColumn("sum_val", F.lit(None).cast("double"))
+        .withColumn("mean_val", F.lit(None).cast("double"))
+        .withColumn("min_val", F.lit(None).cast("double"))
+        .withColumn("max_val", F.lit(None).cast("double"))
+        .withColumn("gap_filled", F.lit(True))
+    )
+    base = tier_df
+    for c in ("sum_val", "mean_val", "min_val", "max_val"):
+        base = base.withColumn(c, F.col(c).cast("double"))
+    base = base.withColumn("gap_filled", F.lit(False))
+    return base.unionByName(gaps.select(*base.columns))
+
+
+def locf_series(
+    filled: DataFrame,
+    cols: tuple[str, ...] = ("mean_val",),
+    key_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """A4: last-observation-carried-forward over gap rows — one window
+    shuffle, ``last(ignorenulls)`` over an unbounded-preceding frame."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = filled
+    for c in cols:
+        out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    gap: int,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """A8: assign session ids per key — a new session starts when the gap
+    to the previous observation exceeds ``gap`` seconds.
+
+    lag + cumulative sum over one window shuffle; the same construction the
+    segmenter uses for batch break-id assignment (seg_id = cumsum(is_break)).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    run = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        df.withColumn("_prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "_new_session",
+            (
+                F.col("_prev").isNull()
+                | ((F.unix_timestamp(ts_col) - F.unix_timestamp("_prev")) > gap)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("_new_session").over(run))
+        .drop("_prev", "_new_session")
+    )
+
+
+def asof_prev_event(
+    df: DataFrame,
+    cond: F.Column,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "warc_ts",
+    out_col: str = "asof_ts",
+) -> DataFrame:
+    """J3 (as-of lookup, windowed form): for every row, the most recent
+    at-or-before ``ts_col`` of the same key where ``cond`` held.
+
+    Shuffle-free relative to a range join: one window per key instead of a
+    key×key range join — this is the scalable form when probe and build
+    sides are the same stream (yatsm/cli/map.py's "model active at date D"
+    semantics [U] over a single table)."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        out_col, F.last(F.when(cond, F.col(ts_col)), ignorenulls=True).over(w)
+    )
+
+
+def window_deltas(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "warc_ts",
+    value_col: str = "text_len",
+) -> DataFrame:
+    """A14: per-key analytics — row_number, delta vs previous value."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    return df.select(
+        *key_cols,
+        ts_col,
+        F.col(value_col).alias("value"),
+        F.row_number().over(w).alias("rn"),
+        (F.col(value_col) - F.lag(value_col).over(w)).alias("delta"),
+    )
+
+
+def top_k_keys(
+    df: DataFrame, k: int, key_cols: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """A9: heaviest keys by row count, deterministic tie-break on the key.
+
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition top-k
+    then a k-row merge at the driver; never a global sort of the counts."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), *[F.asc(c) for c in key_cols])
+        .limit(k)
+    )

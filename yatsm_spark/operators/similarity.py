@@ -1,0 +1,137 @@
+"""Embedding similarity search over `embeddings`-shaped tables.
+
+Training-data-pipeline ANN family (task brief first-class components):
+
+  * :func:`cosine_sim_col`  — codegen'd cosine similarity of two array cols
+  * :func:`brute_topk`      — exact top-k neighbors (baseline)
+  * :func:`lsh_bucket_topk` — random-hyperplane-LSH bucketed top-k (scale path)
+
+Scale notes (100 TB design):
+  * brute_topk is O(Q x N): correct baseline, only viable when the query
+    side is small enough to broadcast — which is exactly how we join it
+    (`F.broadcast(queries)`), so N never shuffles.
+  * lsh_bucket_topk hashes both sides into sign-pattern buckets with
+    deterministic hyperplanes (seeded, hash-derived, no RNG state) and
+    searches only same-bucket candidates: the join key is the bucket id,
+    so the shuffle is bounded by bucket population, not N x Q.  Recall is
+    tunable with n_planes / n_tables; exactness is NOT claimed (ANN).
+  * All vector math stays in zip_with/aggregate higher-order functions —
+    whole-stage codegen, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    """Cosine similarity — left-fold aggregate matches DuckDB's sequential
+    list_dot_product summation order, so oracles agree to FP noise."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is broadcast (small side by contract); rank via row_number over
+    (sim desc, id asc) — sim rounded to 6dp BEFORE ranking so the ordering
+    is stable across engines/summation orders.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        v.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("sim", F.round(cosine_sim_col(F.col("q_vec"), F.col("n_vec")), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a splitmix-style integer
+    hash — no RNG object, identical on every executor and run."""
+
+    def h(i: int) -> float:
+        x = (i + seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        return (x / 2**64) * 2.0 - 1.0
+
+    return [[h(p * dim + d) for d in range(dim)] for p in range(n_planes)]
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH: vectors and queries bucketed by
+    the sign pattern of n_planes dot products; candidates = same bucket.
+
+    The bucket id is a codegen'd expression (sum of sign bits); the join
+    shuffles on it.  Returns (q_id, n_id, sim, rank) within-bucket top-k —
+    approximate by design."""
+    planes = _hyperplanes(dim, n_planes)
+
+    def bucket(vec: Column) -> Column:
+        out = F.lit(0)
+        for p, plane in enumerate(planes):
+            arr = F.array(*[F.lit(x) for x in plane])
+            out = out + F.when(_dot(vec, arr) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return out
+
+    v = vectors.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        bucket(F.col(vec_col)).alias("bkt"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket(F.col(vec_col)).alias("bkt"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "bkt")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("sim", F.round(cosine_sim_col(F.col("q_vec"), F.col("n_vec")), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )
