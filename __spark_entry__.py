@@ -320,6 +320,33 @@ def _q_emb_ann(spark, sf):
     return brute_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def _q_codec_roundtrip(spark, sf):
+    """K11 round-trip as an ORACLE-CHECKED query: encode each user's hourly
+    tier into delta-of-delta + Gorilla blobs, decode, and verify bit-exact
+    equality per point.  The oracle predicts (n_points, all_match=true), so
+    any codec corruption shows up as a value-hash mismatch."""
+    from yatsm_spark.plans.blobs import decode_blobs, encode_blobs
+
+    tier = rollup_series(
+        _t(spark, sf, "events"), "1h", ("user_id",), "ts", "value"
+    ).withColumn("url", F.col("user_id").cast("string"))
+    blobs = encode_blobs(tier, "1h", ts_col="bucket_ts", value_col="mean_val")
+    pts = decode_blobs(blobs)
+    orig = tier.select("url", "bucket_ts", F.col("mean_val").alias("orig"))
+    joined = pts.join(orig, ["url", "bucket_ts"], "left")
+    return (
+        joined.groupBy("url")
+        .agg(
+            F.count("*").alias("n_points"),
+            (
+                F.sum(F.when(F.col("value") == F.col("orig"), 1).otherwise(0))
+                == F.count("*")
+            ).alias("all_match"),
+        )
+        .select(F.col("url").cast("bigint").alias("user_id"), "n_points", "all_match")
+    )
+
+
 # ---- CCDC kernel queries: rows-only (not SQL-expressible end-to-end).
 
 
@@ -379,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash32": _q_docs_simhash,
         "emb_norms": _q_emb_norms,
         "emb_ann_topk": _q_emb_ann,
+        "codec_roundtrip": _q_codec_roundtrip,
         "ccdc_segments_synth": _segments_synth,
         "ccdc_changemap_synth": _changemap_synth,
     }
@@ -663,6 +691,12 @@ SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBL
 FROM embeddings
 """
 
+_CODEC_RT = f"""
+SELECT user_id, count(*) AS n_points, true AS all_match
+FROM (SELECT user_id, {_H} AS bucket_ts FROM events GROUP BY 1, 2)
+GROUP BY user_id
+"""
+
 _EMB_ANN = """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 v AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
@@ -709,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash32": _DOCS_SIMHASH,
         "emb_norms": _EMB_NORMS,
         "emb_ann_topk": _EMB_ANN,
+        "codec_roundtrip": _CODEC_RT,
         # ccdc_segments_synth / ccdc_changemap_synth: rows-only by design —
         # CCDC kernels are not SQL-expressible; golden-fixture-tested in
         # tests/test_segmentation.py instead.

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "docs_simhash32",
     "docs_jaccard_pairs",
     "emb_norms",
+    "codec_roundtrip",
     "emb_ann_topk",
     "ccdc_segments_synth",
 ]

@@ -1,0 +1,157 @@
+"""K11 codec — hand-checked vectors, hypothesis round-trip properties, and
+the Spark encode/decode plan (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from yatsm_spark.functions.codec import (
+    decode_dod,
+    decode_gorilla,
+    encode_dod,
+    encode_gorilla,
+)
+
+# ---------------------------------------------------------------- hand vectors
+
+
+def test_dod_constant_cadence_is_all_zero_bits():
+    ts = np.arange(0, 100) * 3600 + 10
+    blob = encode_dod(ts)
+    # header 21 bytes + ceil(98 dod bits / 8) = 13 payload bytes, all zero
+    assert len(blob) == 21 + 13
+    assert set(blob[21:]) == {0}
+    assert np.array_equal(decode_dod(blob), ts)
+
+
+def test_dod_small_jitter_uses_7bit_class():
+    ts = np.array([0, 3600, 7210, 10790], dtype=np.int64)  # dods +10, -30
+    blob = encode_dod(ts)
+    assert np.array_equal(decode_dod(blob), ts)
+    # 2 points x 9 bits = 18 bits -> 3 bytes payload
+    assert len(blob) == 21 + 3
+
+
+def test_dod_huge_jump_falls_back_to_64bit():
+    ts = np.array([0, 1, 2, 10**15], dtype=np.int64)
+    assert np.array_equal(decode_dod(encode_dod(ts)), ts)
+
+
+def test_dod_tiny_series():
+    assert decode_dod(encode_dod(np.array([], dtype=np.int64))).size == 0
+    assert np.array_equal(decode_dod(encode_dod(np.array([7]))), [7])
+    assert np.array_equal(decode_dod(encode_dod(np.array([7, 9]))), [7, 9])
+
+
+def test_gorilla_constant_values_one_bit_each():
+    v = np.full(1000, 3.14159)
+    blob = encode_gorilla(v)
+    # header 13 bytes + 999 control bits -> 125 bytes
+    assert len(blob) == 13 + 125
+    assert np.array_equal(decode_gorilla(blob), v)
+
+
+def test_gorilla_mixed_values():
+    v = np.array([1.0, 1.0, 2.5, -7.25, 2.5, 0.0, 1e300, -1e-300, 3.0])
+    assert np.array_equal(decode_gorilla(encode_gorilla(v)), v)
+
+
+def test_gorilla_nan_inf_bit_exact():
+    v = np.array([1.0, np.nan, np.inf, -np.inf, np.nan, 2.0])
+    out = decode_gorilla(encode_gorilla(v))
+    assert np.array_equal(
+        out.view(np.uint64), v.view(np.uint64)
+    )  # NaN payload bits preserved
+
+
+def test_version_byte_guard():
+    blob = bytearray(encode_dod(np.array([1, 2, 3])))
+    blob[0] = 99
+    with pytest.raises(ValueError, match="version"):
+        decode_dod(bytes(blob))
+    vb = bytearray(encode_gorilla(np.array([1.0])))
+    vb[0] = 99
+    with pytest.raises(ValueError, match="version"):
+        decode_gorilla(bytes(vb))
+
+
+def test_blob_determinism():
+    ts = np.array([0, 100, 250, 400, 900])
+    v = np.array([1.0, 2.0, 2.0, -1.5, 8.25])
+    assert encode_dod(ts) == encode_dod(ts.copy())
+    assert encode_gorilla(v) == encode_gorilla(v.copy())
+
+
+# ---------------------------------------------------------------- properties
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**52), min_size=0, max_size=300
+    ).map(sorted)
+)
+def test_dod_roundtrip_property(ts_list):
+    ts = np.array(ts_list, dtype=np.int64)
+    assert np.array_equal(decode_dod(encode_dod(ts)), ts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=False, width=64) | st.just(0.0) | st.just(-0.0),
+        min_size=0,
+        max_size=300,
+    )
+)
+def test_gorilla_roundtrip_property(vals):
+    v = np.array(vals, dtype=np.float64)
+    out = decode_gorilla(encode_gorilla(v))
+    assert np.array_equal(out.view(np.uint64), v.view(np.uint64))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=3, max_size=100)
+)
+def test_dod_roundtrip_unsorted_deltas(deltas):
+    ts = np.cumsum(np.array([10**9] + deltas, dtype=np.int64))
+    ts.sort(kind="stable")
+    assert np.array_equal(decode_dod(encode_dod(ts)), ts)
+
+
+def test_compression_ratio_on_regular_series():
+    # hourly cadence + small-magnitude value walk should compress well
+    n = 5000
+    ts = np.arange(n, dtype=np.int64) * 3_600_000_000
+    rng_vals = np.round(2000 + 300 * np.cos(np.arange(n) / 24), 0)
+    raw = n * 16
+    enc = len(encode_dod(ts)) + len(encode_gorilla(rng_vals))
+    assert enc < raw / 4  # >4x on the target workload
+
+
+# ---------------------------------------------------------------- spark plan
+
+
+def test_spark_blob_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.datagen import generate_crawl
+    from yatsm_spark.operators.rollup import rollup, series_clean
+    from yatsm_spark.plans.blobs import decode_blobs, encode_blobs
+
+    tier = rollup(series_clean(generate_crawl(spark, n_urls=12, span_days=30)), "1d")
+    blobs = encode_blobs(tier, "1d", value_col="mean_len").cache()
+    assert blobs.count() == 12
+    assert blobs.filter(F.col("codec_ver") != 1).count() == 0
+
+    pts = decode_blobs(blobs)
+    orig = tier.select("url", "bucket_ts", F.col("mean_len").cast("double").alias("value"))
+    # decoded points == original tier points, bit-exact values
+    diff = pts.exceptAll(orig).count() + orig.exceptAll(pts).count()
+    assert diff == 0
