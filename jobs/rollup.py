@@ -1,0 +1,146 @@
+"""Main batch job: crawl -> rollup tiers -> gap-fill -> blobs [-> segments].
+
+The spark-submit analog of the reference CLI ``yatsm line <config> <job>
+<total>`` (yatsm/cli/line.py [U], SURVEY.md §3.1) — Spark tasks replace the
+external GNU-parallel process scheduler, and the per-partition checkpoint
+manifest replaces the ``--resume`` npz-glob.
+
+Usage (cluster):
+    spark-submit --master ... --py-files engine.zip jobs/rollup.py \
+        --input /path/to/crawl --output /path/to/out --run-id r1 \
+        [--synthetic N_URLS:SPAN_DAYS] [--chunked] [--segment] [--no-blobs]
+
+Modes:
+  * default (one-pass): the whole table in one DAG — maximum cluster
+    utilization, used for benchmarks and fresh builds.
+  * --chunked: process per p_bucket with checkpoint-manifest resume —
+    interrupted runs redo only unfinished buckets (north_star
+    resumability).  Each chunk is itself fully distributed.
+
+Every run appends lineage metrics JSONL (rows in/out, bytes, wall) per
+chunk under <output>/_meta/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from yatsm_spark.datagen import generate_crawl, write_crawl  # noqa: E402
+from yatsm_spark.functions.ccdc import CCDCParams  # noqa: E402
+from yatsm_spark.operators.rollup import TIERS, cascade, gap_fill, rollup, series_clean  # noqa: E402
+from yatsm_spark.plans.blobs import encode_blobs  # noqa: E402
+from yatsm_spark.plans.segmentation import segment_series  # noqa: E402
+from yatsm_spark.session import get_spark  # noqa: E402
+from yatsm_spark.sources import checkpoints as ckpt  # noqa: E402
+from yatsm_spark.sources.storage import write_table  # noqa: E402
+
+
+def build_tiers(crawl, tiers: list[str]):
+    """clean -> 1h -> cascade coarser tiers (exact re-aggregation)."""
+    clean = series_clean(crawl)
+    out = {}
+    finest = tiers[0]
+    out[finest] = rollup(clean, finest)
+    prev = finest
+    for t in tiers[1:]:
+        out[t] = cascade(out[prev], t)
+        prev = t
+    return out
+
+
+def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
+            do_segment: bool, suffix: str = "") -> dict[str, int]:
+    counts = {}
+    tier_dfs = build_tiers(crawl, tiers)
+    for t, df in tier_dfs.items():
+        filled = gap_fill(df, t).withColumn("p_day", F.to_date("bucket_ts"))
+        target = f"{out_dir}/rollup_{t}{suffix}"
+        write_table(filled, target, partition_cols=("p_day",))
+        counts[f"rollup_{t}"] = spark.read.parquet(target).count()
+    if do_blobs:
+        src = tier_dfs[tiers[-1] if len(tiers) > 1 else tiers[0]]
+        blobs = encode_blobs(src, tiers[-1], value_col="mean_len")
+        target = f"{out_dir}/segment_blobs{suffix}"
+        blobs.write.mode("overwrite").parquet(target)
+        counts["segment_blobs"] = spark.read.parquet(target).count()
+    if do_segment:
+        day_tier = tier_dfs.get("1d", tier_dfs[tiers[0]])
+        params = CCDCParams(period=7.0, min_span=56.0, retrain_time=56.0)
+        segs = segment_series(day_tier, params)
+        target = f"{out_dir}/segments{suffix}"
+        segs.write.mode("overwrite").parquet(target)
+        counts["segments"] = spark.read.parquet(target).count()
+    return counts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="crawl parquet path")
+    ap.add_argument("--synthetic", help="N_URLS:SPAN_DAYS deterministic crawl instead of --input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--tiers", default="1h,1d,30d")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--chunked", action="store_true", help="per-bucket checkpointed mode")
+    ap.add_argument("--segment", action="store_true")
+    ap.add_argument("--no-blobs", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    tiers = [t.strip() for t in args.tiers.split(",")]
+    for t in tiers:
+        if t not in TIERS:
+            raise SystemExit(f"unknown tier {t}; choose from {list(TIERS)}")
+    run_id = args.run_id or uuid.uuid4().hex[:12]
+
+    spark = get_spark("yatsm_spark_rollup", master=args.master)
+    os.makedirs(f"{args.output}/_meta", exist_ok=True)
+    metrics = ckpt.PartitionMetrics(f"{args.output}/_meta/lineage.jsonl")
+
+    if args.synthetic:
+        n_urls, span = (int(x) for x in args.synthetic.split(":"))
+        crawl_path = f"{args.output}/crawl_input"
+        if not os.path.exists(crawl_path):
+            write_crawl(generate_crawl(spark, n_urls=n_urls, span_days=span), crawl_path)
+        crawl = spark.read.parquet(crawl_path)
+    else:
+        if not args.input:
+            raise SystemExit("need --input or --synthetic")
+        crawl = spark.read.parquet(args.input)
+
+    t_start = time.time()
+    if not args.chunked:
+        counts = process(spark, crawl, args.output, tiers, not args.no_blobs, args.segment)
+        metrics.emit(run_id=run_id, partition_key="ALL", wall_ms=int((time.time() - t_start) * 1000), **counts)
+    else:
+        manifest_path = f"{args.output}/_meta/checkpoints"
+        buckets = crawl.select(F.col("p_bucket").cast("string").alias("partition_key")).distinct()
+        manifest = ckpt.read_manifest(spark, manifest_path)
+        pending = [r["partition_key"] for r in ckpt.pending_partitions(buckets, manifest, run_id).collect()]
+        done = buckets.count() - len(pending)
+        print(f"run {run_id}: {len(pending)} pending buckets ({done} already done)")
+        for pk in sorted(pending, key=int):
+            t0 = time.time()
+            chunk = crawl.filter(F.col("p_bucket") == int(pk))
+            rows_in = chunk.count()
+            counts = process(spark, chunk, args.output, tiers, not args.no_blobs,
+                             args.segment, suffix=f"/b={pk}")
+            wall = int((time.time() - t0) * 1000)
+            ckpt.mark_done(spark, manifest_path, run_id, pk, rows_in,
+                           sum(counts.values()), 0, wall)
+            metrics.emit(run_id=run_id, partition_key=pk, rows_in=rows_in,
+                         wall_ms=wall, **counts)
+    total = time.time() - t_start
+    print(f"run {run_id} finished in {total:.1f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
