@@ -1,0 +1,137 @@
+"""Structured Streaming surface (SURVEY.md §2.6): watermarked rollup,
+session windows, stateful CCDC monitor — driven through a file source with
+Trigger.AvailableNow into a memory sink."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from yatsm_spark.streaming.stream_rollup import (
+    monitor_stream,
+    stream_rollup,
+    stream_sessionize,
+)
+
+SCHEMA = "url string, warc_ts timestamp, text_len long"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_stream(spark, src_path, build, name):
+    stream = spark.readStream.schema(SCHEMA).parquet(src_path)
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    path = str(tmp_path / "stream_src")
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # url A: 3 obs in hour 0, 2 in hour 1; far-future row advances the
+    # watermark so earlier windows finalize in append mode
+    for m, v in [(5, 100), (20, 110), (40, 120), (65, 200), (80, 210)]:
+        rows.append(("A", t0 + timedelta(minutes=m), v))
+    rows.append(("A", t0 + timedelta(days=2), 999))
+    _write_batch(spark, path, rows)
+    return path
+
+
+def test_stream_rollup_matches_batch_buckets(spark, src):
+    out = _run_stream(
+        spark, src, lambda s: stream_rollup(s, "1h", "2 hours"), "t_rollup"
+    ).collect()
+    got = {r["bucket_ts"]: (r["cnt"], r["sum_val"], r["min_val"], r["max_val"]) for r in got_rows(out)}
+    assert got[datetime(2024, 1, 1, 0)] == (3, 330, 100, 120)
+    assert got[datetime(2024, 1, 1, 1)] == (2, 410, 200, 210)
+    # the far-future row's window is NOT finalized (append mode) — that IS
+    # the watermark semantics difference vs batch, documented in §2.6
+    assert datetime(2024, 1, 3, 0) not in got
+
+
+def got_rows(rows):
+    return [r for r in rows]
+
+
+def test_stream_sessionize(spark, src):
+    out = _run_stream(
+        spark,
+        src,
+        lambda s: stream_sessionize(s, gap="30 minutes", watermark="1 hour"),
+        "t_sess",
+    ).collect()
+    # obs at 5,20,40 chain (gaps < 30m); 65,80 chain; 40->65 gap 25m chains
+    # them all into ONE session [00:05, 01:50); far row separate (not final)
+    finalized = [r for r in out if r["session_start"] < datetime(2024, 1, 2)]
+    assert len(finalized) == 1
+    assert finalized[0]["n_obs"] == 5
+
+
+def test_monitor_stream_detects_break(spark, tmp_path):
+    path = str(tmp_path / "mon_src")
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # 16 training obs on a flat signal, then 8 shifted obs -> break after 5
+    for i in range(16):
+        rows.append(("B", t0 + timedelta(hours=6 * i), 1000 + (i % 3)))
+    for i in range(8):
+        rows.append(("B", t0 + timedelta(hours=6 * (16 + i)), 2000))
+    _write_batch(spark, path, rows)
+    out = _run_stream(
+        spark,
+        path,
+        lambda s: monitor_stream(s, threshold=3.5, consecutive=5, period=7.0),
+        "t_mon",
+    ).collect()
+    scored = sorted(out, key=lambda r: r["warc_ts"])
+    # 5 scored obs: 4 exceedances then the break; the post-break obs feed
+    # the reset model's retraining buffer and emit nothing
+    assert len(scored) == 5
+    assert [r["is_break"] for r in scored] == [False] * 4 + [True]
+    assert all(r["score"] > 3.5 for r in scored)
+
+
+def test_monitor_state_carries_across_batches(spark, tmp_path):
+    path = str(tmp_path / "mon_src2")
+    t0 = datetime(2024, 1, 1)
+    sink = str(tmp_path / "mon_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_to_sink():
+        stream = spark.readStream.schema(SCHEMA).parquet(path)
+        q = (
+            monitor_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [("C", t0 + timedelta(hours=6 * i), 500 + (i % 2)) for i in range(16)]
+    _write_batch(spark, path, batch1)
+    run_to_sink()
+    assert spark.read.parquet(sink).count() == 0  # still training
+
+    # batch 2 (same checkpoint): scored against the model whose state was
+    # trained in batch 1 and persisted in the state store
+    batch2 = [("C", t0 + timedelta(hours=6 * (16 + i)), 500) for i in range(3)]
+    _write_batch(spark, path, batch2)
+    run_to_sink()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 3
+    assert all(not r["is_break"] and r["score"] < 3.5 for r in rows)

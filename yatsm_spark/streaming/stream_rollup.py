@@ -1,0 +1,183 @@
+"""Structured Streaming surface (SURVEY.md §2.6) — the online analog of
+the batch engine: watermarked tumbling rollups, session windows, and a
+stateful per-key CCDC monitor.
+
+Semantic difference vs the reference, documented per §2.6: YATSM always
+reprocesses the whole series (no lateness concept); the streaming rollup
+drops rows later than the watermark.  The batch engine remains the source
+of truth — streaming serves the "monitor new crawls as they land" loop the
+reference runs by re-fitting whole pixels.
+
+All aggregates reuse the batch tier algebra (cnt+sum, never means) so a
+streamed tier can be unioned with / reconciled against a batch backfill
+without re-reading raw data.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from yatsm_spark.operators.rollup import TIERS
+
+
+def stream_rollup(
+    stream: DataFrame,
+    tier: str = "1h",
+    watermark: str = "2 hours",
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    value_col: str = "text_len",
+) -> DataFrame:
+    """A1 as a streaming query: tumbling ``F.window`` aggregation with a
+    watermark; append-mode compatible (finalized windows only).
+
+    The window start equals the batch engine's epoch-aligned bucket, so
+    streamed rows re-aggregate exactly into the batch tier tables.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col, F.window(ts_col, TIERS[tier]).alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(value_col).alias("sum_val"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("bucket_ts"),
+            "cnt",
+            "sum_val",
+            (F.col("sum_val") / F.col("cnt")).alias("mean_val"),
+            "min_val",
+            "max_val",
+        )
+    )
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    gap: str = "36 hours",
+    watermark: str = "2 hours",
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """A8 as a streaming query: ``session_window`` with a gap timeout."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col, F.session_window(ts_col, gap).alias("s"))
+        .agg(F.count("*").alias("n_obs"))
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_obs",
+        )
+    )
+
+
+MONITOR_STATE_SCHEMA = "coef array<double>, rmse double, consec int, n_seen long"
+MONITOR_OUT_SCHEMA = (
+    "url string, warc_ts timestamp, score double, consec int, is_break boolean"
+)
+
+
+def make_monitor(threshold: float = 3.5, consecutive: int = 5, period: float = 7.0):
+    """Stateful K6 Shewhart monitor for ``applyInPandasWithState``.
+
+    State per url = (harmonic coef, rmse, consecutive-exceedance counter,
+    n_seen).  The model is trained on the first ``train_n`` observations
+    (simple OLS on the harmonic design — the streaming analog of K5's
+    stable-period init); each later observation is scored
+    |y-yhat|/max(rmse, 1); ``consecutive`` exceedances emit a break row and
+    reset the model, mirroring CCDCesque.monitor [U].
+    """
+    train_n = 16
+
+    def monitor(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from yatsm_spark.functions.ccdc import harmonic_design
+
+        if state.exists:
+            coef, rmse, consec, n_seen = state.get
+            coef = np.array(coef) if coef is not None else None
+        else:
+            coef, rmse, consec, n_seen = None, 1.0, 0, 0
+
+        buf_t: list[float] = []
+        buf_y: list[float] = []
+        out_rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("warc_ts", kind="mergesort")
+            t_days = pdf["warc_ts"].astype("int64").to_numpy() / 1e9 / 86400.0
+            y = pdf["text_len"].to_numpy(dtype=np.float64)
+            for ts, td, yv in zip(pdf["warc_ts"], t_days, y):
+                n_seen += 1
+                if coef is None:
+                    buf_t.append(td)
+                    buf_y.append(yv)
+                    if len(buf_t) >= train_n:
+                        X = harmonic_design(np.array(buf_t), 1, period)
+                        coef, *_ = np.linalg.lstsq(X, np.array(buf_y), rcond=None)
+                        resid = np.array(buf_y) - X @ coef
+                        rmse = max(float(np.sqrt(np.mean(resid**2))), 1.0)
+                    continue
+                xrow = harmonic_design(np.array([td]), 1, period)[0]
+                score = abs(yv - float(xrow @ coef)) / max(rmse, 1.0)
+                if score > threshold:
+                    consec += 1
+                else:
+                    consec = 0
+                is_break = consec >= consecutive
+                out_rows.append(
+                    {
+                        "url": key[0],
+                        "warc_ts": ts,
+                        "score": float(score),
+                        "consec": int(consec),
+                        "is_break": bool(is_break),
+                    }
+                )
+                if is_break:  # reset: start retraining a new stable model
+                    coef, rmse, consec = None, 1.0, 0
+                    buf_t, buf_y = [], []
+
+        state.update(
+            (
+                [float(c) for c in coef] if coef is not None else None,
+                float(rmse),
+                int(consec),
+                int(n_seen),
+            )
+        )
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return monitor
+
+
+def monitor_stream(
+    stream: DataFrame,
+    threshold: float = 3.5,
+    consecutive: int = 5,
+    period: float = 7.0,
+) -> DataFrame:
+    """K5+K6 as a stateful streaming operator (applyInPandasWithState)."""
+    return (
+        stream.select("url", "warc_ts", "text_len")
+        .groupBy("url")
+        .applyInPandasWithState(
+            make_monitor(threshold, consecutive, period),
+            outputStructType=MONITOR_OUT_SCHEMA,
+            stateStructType=MONITOR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
