@@ -347,6 +347,60 @@ def _q_codec_roundtrip(spark, sf):
     )
 
 
+def _q_salted_stats(spark, sf):
+    """Two-stage salted aggregation (skew defeat) — oracle = plain GROUP
+    BY, so the check proves salting is result-invariant."""
+    from yatsm_spark.operators.salt import salted_agg
+
+    ev = _t(spark, sf, "events")
+    hot = ev.groupBy("event_type").count().filter(F.col("count") > 500).select("event_type")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        stage1_aggs=[F.count("*").alias("c"), F.sum("value").alias("s"),
+                     F.min("value").alias("mn"), F.max("value").alias("mx")],
+        stage2_aggs=[F.sum("c").alias("cnt"), F.round(F.sum("s"), 4).alias("sum_val"),
+                     F.round(F.min("mn"), 4).alias("min_val"), F.round(F.max("mx"), 4).alias("max_val")],
+        hot=hot,
+        salt_cols=["event_type", "event_id"],
+        n_salts=8,
+    )
+    return out
+
+
+def _q_minhash_lsh_pairs(spark, sf):
+    """MinHash+LSH banding candidate pairs (rows-only: the band-collision
+    set is implementation-defined; signature correctness is oracle-checked
+    by docs_minhash_sigs and pair semantics by docs_jaccard_pairs)."""
+    from yatsm_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), n_hashes=16, bands=4, k=3)
+
+
+def _q_ann_lsh(spark, sf):
+    """Hyperplane-LSH bucketed ANN (rows-only: approximate by design;
+    exact baseline emb_ann_topk is the oracle-checked twin)."""
+    from yatsm_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=6)
+
+
+def _q_multimodal_synth(spark, sf):  # noqa: ARG001 — synthetic media per north rule
+    """Binary media columns over the synthetic crawl html: magic sniffing
+    (real), fake-decoder metadata (stubbed decode, real plumbing)."""
+    from yatsm_spark.datagen import generate_crawl
+    from yatsm_spark.operators.multimodal import decode_image, media_metadata
+
+    crawl = generate_crawl(spark, n_urls=30, span_days=10).limit(200)
+    docs = crawl.select(F.xxhash64("url", "warc_ts").alias("doc_id"), "html")
+    meta = media_metadata(docs, "html").select("doc_id", "media_kind", "media_bytes")
+    img = decode_image(docs, "html", fake=True)
+    return meta.join(img, "doc_id").select(
+        "doc_id", "media_kind", "media_bytes", "width", "height", "n_channels"
+    )
+
+
 # ---- CCDC kernel queries: rows-only (not SQL-expressible end-to-end).
 
 
@@ -407,6 +461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norms": _q_emb_norms,
         "emb_ann_topk": _q_emb_ann,
         "codec_roundtrip": _q_codec_roundtrip,
+        "salted_event_stats": _q_salted_stats,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "emb_ann_lsh": _q_ann_lsh,
+        "multimodal_media_synth": _q_multimodal_synth,
         "ccdc_segments_synth": _segments_synth,
         "ccdc_changemap_synth": _changemap_synth,
     }
@@ -686,6 +744,12 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id
 """
 
+_SALTED = """
+SELECT event_type, count(*) AS cnt, round(sum(value),4) AS sum_val,
+       round(min(value),4) AS min_val, round(max(value),4) AS max_val
+FROM events GROUP BY 1
+"""
+
 _EMB_NORMS = """
 SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2
 FROM embeddings
@@ -744,7 +808,15 @@ def oracle_sql() -> dict[str, str]:
         "emb_norms": _EMB_NORMS,
         "emb_ann_topk": _EMB_ANN,
         "codec_roundtrip": _CODEC_RT,
-        # ccdc_segments_synth / ccdc_changemap_synth: rows-only by design —
-        # CCDC kernels are not SQL-expressible; golden-fixture-tested in
-        # tests/test_segmentation.py instead.
+        "salted_event_stats": _SALTED,
+        # rows-only by design:
+        #   ccdc_segments_synth / ccdc_changemap_synth — CCDC kernels are
+        #     not SQL-expressible; golden-fixture-tested in
+        #     tests/test_segmentation.py instead;
+        #   minhash_lsh_pairs — band-collision candidate set (signatures
+        #     themselves oracle-checked by docs_minhash_sigs);
+        #   emb_ann_lsh — approximate by design (exact twin emb_ann_topk
+        #     is oracle-checked);
+        #   multimodal_media_synth — stubbed media decode over synthetic
+        #     binary (deterministic; plumbing-real).
     }

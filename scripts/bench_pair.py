@@ -1,0 +1,113 @@
+"""One interleaved local[8]+local[32] scaling pair, appended to a JSONL.
+
+The sandbox host has invisible co-tenant load (identical jobs measured
+65s-340s across an hour), so single-shot efficiency numbers are
+meaningless.  Methodology: run PAIRS back-to-back (noise hits both levels
+of a pair similarly), accumulate many pairs over the session via repeated
+invocations, and report min-of-N per level (the least-interference
+estimate) in BENCH/BASELINE.md.
+
+Usage: python scripts/bench_pair.py [--out .benchdata/pairs.jsonl]
+       python scripts/bench_pair.py --summarize
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = "/root/repo/.benchdata/crawl_u20000_d120"
+DEFAULT_OUT = "/root/repo/.benchdata/pairs.jsonl"
+
+
+def full_wall(cores: int) -> dict:
+    from pyspark import StorageLevel
+
+    from yatsm_spark.functions.ccdc import CCDCParams
+    from yatsm_spark.operators.rollup import cascade, rollup, series_clean
+    from yatsm_spark.plans.blobs import encode_blobs
+    from yatsm_spark.plans.segmentation import segment_series
+    from yatsm_spark.session import get_spark
+
+    spark = get_spark(
+        f"pair{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=64,
+        extra_confs={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"},
+    )
+    crawl = spark.read.parquet(DATA)
+    sc = "/root/repo/.benchdata/pair_scratch"
+    shutil.rmtree(sc, ignore_errors=True)
+    r: dict = {"cores": cores}
+    t0 = time.time()
+    t1h = rollup(series_clean(crawl), "1h").persist(StorageLevel.MEMORY_AND_DISK)
+    t1h.write.mode("overwrite").parquet(f"{sc}/t1h")
+    t1d = cascade(t1h, "1d").persist(StorageLevel.MEMORY_AND_DISK)
+    t1d.write.mode("overwrite").parquet(f"{sc}/t1d")
+    cascade(t1d, "30d").write.mode("overwrite").parquet(f"{sc}/t30")
+    r["tiers"] = round(time.time() - t0, 2)
+    for t in ("1h", "1d"):
+        r[f"points_{t}"] = spark.read.parquet(f"{sc}/t{t}").count()
+    r["points_30d"] = spark.read.parquet(f"{sc}/t30").count()
+    t0 = time.time()
+    encode_blobs(t1d, "1d", value_col="mean_len").write.mode("overwrite").format("noop").save()
+    r["blobs"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    segment_series(t1d, CCDCParams(period=7.0, min_span=56.0, retrain_time=56.0)).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    r["segment"] = round(time.time() - t0, 2)
+    r["total"] = round(r["tiers"] + r["blobs"] + r["segment"], 2)
+    spark.stop()
+    return r
+
+
+def summarize(out: str) -> dict:
+    rows = [json.loads(line) for line in open(out, encoding="utf-8")]
+    by = {8: [r for r in rows if r["cores"] == 8], 32: [r for r in rows if r["cores"] == 32]}
+    if not by[8] or not by[32]:
+        return {"error": "need at least one pair"}
+    mins = {c: min(rs, key=lambda r: r["total"]) for c, rs in by.items()}
+    eff = (mins[8]["total"] / mins[32]["total"]) / 4
+    return {
+        "n_pairs": min(len(by[8]), len(by[32])),
+        "min_local8": mins[8],
+        "min_local32": mins[32],
+        "pps_tiers_local8": {
+            t: round(mins[8][f"points_{t}"] / mins[8]["tiers"], 1) for t in ("1h", "1d", "30d")
+        },
+        "pps_tiers_local32": {
+            t: round(mins[32][f"points_{t}"] / mins[32]["tiers"], 1) for t in ("1h", "1d", "30d")
+        },
+        "scaling_efficiency_min": round(eff, 3),
+        "gate": "PASS" if eff >= 0.8 else "FAIL",
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--summarize", action="store_true")
+    args = ap.parse_args()
+    if args.summarize:
+        print(json.dumps(summarize(args.out)))
+        return
+    ts = time.time()
+    with open(args.out, "a", encoding="utf-8") as f:
+        for cores in (8, 32):
+            r = full_wall(cores)
+            r["ts"] = ts
+            f.write(json.dumps(r) + "\n")
+            f.flush()
+            print(json.dumps(r), file=sys.stderr)
+    print(json.dumps(summarize(args.out)))
+
+
+if __name__ == "__main__":
+    main()

@@ -172,7 +172,12 @@ def generate_crawl(
     return crawl
 
 
-def write_crawl(df: DataFrame, path: str, partition_by: tuple[str, ...] = ("p_bucket",)) -> None:
+def write_crawl(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("p_bucket",),
+    files_per_bucket: int = 4,
+) -> None:
     """Write the crawl table.
 
     Sandbox layout: Parquet partitioned by ``p_bucket`` with rows sorted by
@@ -180,11 +185,24 @@ def write_crawl(df: DataFrame, path: str, partition_by: tuple[str, ...] = ("p_bu
     predicates almost as well as a days() partition would.  On a real
     cluster the Iceberg writer uses ``bucket(url, B) x days(warc_ts)``
     (see sources/storage.py).
+
+    ``files_per_bucket`` sub-splits each bucket on a url hash and caps the
+    parquet row-group size at 32 MiB: a table written as one 100 MiB
+    single-row-group file per bucket admits only n_buckets scan splits, so
+    a 4x-larger cluster reads it no faster (measured: 1.3x instead of 4x
+    going local[8] -> local[32]).  Splittable files are what make the scan
+    scale with the cluster.
     """
+    nparts = N_BUCKETS * files_per_bucket
     (
-        df.repartition(*[F.col(c) for c in partition_by])
+        df.repartition(
+            nparts,
+            *[F.col(c) for c in partition_by],
+            F.pmod(F.xxhash64("url"), F.lit(files_per_bucket)),
+        )
         .sortWithinPartitions("url", "warc_ts")
         .write.mode("overwrite")
+        .option("parquet.block.size", 32 * 1024 * 1024)
         .partitionBy(*partition_by)
         .parquet(path)
     )

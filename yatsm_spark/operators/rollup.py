@@ -46,17 +46,33 @@ def series_clean(crawl: DataFrame) -> DataFrame:
     [U]) + Fmask categorical screen + duplicate-date drop in
     yatsm/cli/line.py [U].  Deterministic tie-break: keep the longest text,
     then lexicographically-first, so results are partition-order invariant.
+
+    Physical plan: the dedup is a hash AGGREGATE (min over a
+    (-text_len, text, lang) struct — struct ordering realizes the
+    tie-break), not a row_number window: a window sort-shuffles the whole
+    raw table and scales poorly; the aggregate gets map-side partial
+    combine and keeps the pipeline sort-free.
     """
-    w = Window.partitionBy("url", "warc_ts").orderBy(
-        F.length("text").desc(), F.col("text").asc()
-    )
     return (
         crawl.select("url", "warc_ts", "text", "lang")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .withColumn("text_len", F.length("text").cast("long"))
+        .groupBy("url", "warc_ts")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.length("text")).cast("long").alias("neg_len"),
+                    F.col("text").alias("text"),
+                    F.col("lang").alias("lang"),
+                )
+            ).alias("_s")
+        )
+        .select(
+            "url",
+            "warc_ts",
+            F.col("_s.text").alias("text"),
+            F.col("_s.lang").alias("lang"),
+            (-F.col("_s.neg_len")).cast("long").alias("text_len"),
+        )
     )
 
 
