@@ -26,7 +26,7 @@ DATA = "/root/repo/.benchdata/crawl_u20000_d120"
 DEFAULT_OUT = "/root/repo/.benchdata/pairs.jsonl"
 
 
-def full_wall(cores: int) -> dict:
+def full_wall(cores: int, noop: bool = False) -> dict:
     from pyspark import StorageLevel
 
     from yatsm_spark.functions.ccdc import CCDCParams
@@ -44,17 +44,29 @@ def full_wall(cores: int) -> dict:
     crawl = spark.read.parquet(DATA)
     sc = "/root/repo/.benchdata/pair_scratch"
     shutil.rmtree(sc, ignore_errors=True)
-    r: dict = {"cores": cores}
+    r: dict = {"cores": cores, "mode": "noop" if noop else "write"}
+
+    def sink(df, name):
+        if noop:
+            df.write.mode("overwrite").format("noop").save()
+        else:
+            df.write.mode("overwrite").parquet(f"{sc}/{name}")
+
+    # noop mode: memory-only persist + noop sinks — isolates ENGINE compute
+    # scaling from shared-host disk saturation (co-tenant I/O measured
+    # 28s..383s for the identical tiers job across the session)
+    level = StorageLevel.MEMORY_ONLY if noop else StorageLevel.MEMORY_AND_DISK
     t0 = time.time()
-    t1h = rollup(series_clean(crawl), "1h").persist(StorageLevel.MEMORY_AND_DISK)
-    t1h.write.mode("overwrite").parquet(f"{sc}/t1h")
-    t1d = cascade(t1h, "1d").persist(StorageLevel.MEMORY_AND_DISK)
-    t1d.write.mode("overwrite").parquet(f"{sc}/t1d")
-    cascade(t1d, "30d").write.mode("overwrite").parquet(f"{sc}/t30")
+    t1h = rollup(series_clean(crawl), "1h").persist(level)
+    sink(t1h, "t1h")
+    t1d = cascade(t1h, "1d").persist(level)
+    sink(t1d, "t1d")
+    t30 = cascade(t1d, "30d").persist(level)
+    sink(t30, "t30")
     r["tiers"] = round(time.time() - t0, 2)
-    for t in ("1h", "1d"):
-        r[f"points_{t}"] = spark.read.parquet(f"{sc}/t{t}").count()
-    r["points_30d"] = spark.read.parquet(f"{sc}/t30").count()
+    r["points_1h"] = t1h.count()
+    r["points_1d"] = t1d.count()
+    r["points_30d"] = t30.count()
     t0 = time.time()
     encode_blobs(t1d, "1d", value_col="mean_len").write.mode("overwrite").format("noop").save()
     r["blobs"] = round(time.time() - t0, 2)
@@ -68,8 +80,9 @@ def full_wall(cores: int) -> dict:
     return r
 
 
-def summarize(out: str) -> dict:
+def summarize(out: str, mode: str = "write") -> dict:
     rows = [json.loads(line) for line in open(out, encoding="utf-8")]
+    rows = [r for r in rows if r.get("mode", "write") == mode]
     by = {8: [r for r in rows if r["cores"] == 8], 32: [r for r in rows if r["cores"] == 32]}
     if not by[8] or not by[32]:
         return {"error": "need at least one pair"}
@@ -94,19 +107,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--summarize", action="store_true")
+    ap.add_argument("--noop", action="store_true", help="compute-only mode")
     args = ap.parse_args()
+    mode = "noop" if args.noop else "write"
     if args.summarize:
-        print(json.dumps(summarize(args.out)))
+        print(json.dumps({m: summarize(args.out, m) for m in ("write", "noop")}))
         return
     ts = time.time()
     with open(args.out, "a", encoding="utf-8") as f:
         for cores in (8, 32):
-            r = full_wall(cores)
+            r = full_wall(cores, noop=args.noop)
             r["ts"] = ts
             f.write(json.dumps(r) + "\n")
             f.flush()
             print(json.dumps(r), file=sys.stderr)
-    print(json.dumps(summarize(args.out)))
+    print(json.dumps(summarize(args.out, mode)))
 
 
 if __name__ == "__main__":
