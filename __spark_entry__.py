@@ -421,6 +421,30 @@ def _segments_synth(spark, sf):  # noqa: ARG001 — synthetic input per north ru
     )
 
 
+def _classify_synth(spark, sf):  # noqa: ARG001
+    """K13 RF classification over synthetic segments (rows-only: model
+    training is not SQL-expressible; determinism tested in
+    tests/test_classify.py)."""
+    from yatsm_spark.plans.classify import classify_segments, train_segment_classifier
+
+    # rebuild segments WITH coef/rmse/magnitude (the synth query above
+    # projects them out)
+    from yatsm_spark.datagen import generate_crawl
+    from yatsm_spark.functions.ccdc import CCDCParams
+    from yatsm_spark.operators.rollup import rollup, series_clean
+    from yatsm_spark.plans.segmentation import segment_series
+
+    crawl = generate_crawl(spark, n_urls=24, span_days=500)
+    tier = rollup(series_clean(crawl), "1d")
+    full = segment_series(tier, CCDCParams(period=7.0, min_span=56.0, retrain_time=56.0))
+    url_id = F.regexp_extract("url", r"page(\d+)", 1).cast("long")
+    labels = full.select("url").distinct().withColumn(
+        "label", F.pmod(url_id, F.lit(7)).isin(3, 5).cast("int")
+    )
+    model = train_segment_classifier(full, labels, n_trees=20, max_depth=5)
+    return classify_segments(model, full)
+
+
 def _changemap_synth(spark, sf):
     from yatsm_spark.operators.changemap import change_summary
 
@@ -467,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_synth": _q_multimodal_synth,
         "ccdc_segments_synth": _segments_synth,
         "ccdc_changemap_synth": _changemap_synth,
+        "ccdc_classify_synth": _classify_synth,
     }
 
 
