@@ -114,8 +114,12 @@ def main() -> None:
         print(json.dumps({m: summarize(args.out, m) for m in ("write", "noop")}))
         return
     ts = time.time()
+    # alternate leg order between invocations: host noise is bursty, so a
+    # fixed order would bias which level absorbs it
+    n_prior = sum(1 for _ in open(args.out, encoding="utf-8")) if os.path.exists(args.out) else 0
+    order = (8, 32) if (n_prior // 2) % 2 == 0 else (32, 8)
     with open(args.out, "a", encoding="utf-8") as f:
-        for cores in (8, 32):
+        for cores in order:
             r = full_wall(cores, noop=args.noop)
             r["ts"] = ts
             f.write(json.dumps(r) + "\n")
