@@ -411,7 +411,7 @@ def _segments_synth(spark, sf):  # noqa: ARG001 — synthetic input per north ru
     from yatsm_spark.plans.segmentation import segment_series
 
     crawl = generate_crawl(spark, n_urls=24, span_days=500)
-    tier = rollup(series_clean(crawl), "1d")
+    tier = rollup(series_clean(crawl, keep_text=False), "1d")
     # the synthetic web signal is weekly (datagen SIGNAL_PERIOD_DAYS=7), so
     # the harmonic period + training span are tuned to it — the reference's
     # annual defaults apply to Landsat phenology, not crawl series
@@ -435,7 +435,7 @@ def _classify_synth(spark, sf):  # noqa: ARG001
     from yatsm_spark.plans.segmentation import segment_series
 
     crawl = generate_crawl(spark, n_urls=24, span_days=500)
-    tier = rollup(series_clean(crawl), "1d")
+    tier = rollup(series_clean(crawl, keep_text=False), "1d")
     full = segment_series(tier, CCDCParams(period=7.0, min_span=56.0, retrain_time=56.0))
     url_id = F.regexp_extract("url", r"page(\d+)", 1).cast("long")
     labels = full.select("url").distinct().withColumn(

@@ -45,7 +45,7 @@ from yatsm_spark.sources.storage import write_table  # noqa: E402
 
 def build_tiers(crawl, tiers: list[str]):
     """clean -> 1h -> cascade coarser tiers (exact re-aggregation)."""
-    clean = series_clean(crawl)
+    clean = series_clean(crawl, keep_text=False)
     out = {}
     finest = tiers[0]
     out[finest] = rollup(clean, finest)

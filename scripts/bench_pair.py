@@ -57,7 +57,7 @@ def full_wall(cores: int, noop: bool = False) -> dict:
     # 28s..383s for the identical tiers job across the session)
     level = StorageLevel.MEMORY_ONLY if noop else StorageLevel.MEMORY_AND_DISK
     t0 = time.time()
-    t1h = rollup(series_clean(crawl), "1h").persist(level)
+    t1h = rollup(series_clean(crawl, keep_text=False), "1h").persist(level)
     sink(t1h, "t1h")
     t1d = cascade(t1h, "1d").persist(level)
     sink(t1d, "t1d")

@@ -73,7 +73,7 @@ def run_once(crawl_path: str, cores: int, scratch: str) -> dict:
     from pyspark import StorageLevel
 
     t0 = time.time()
-    t1h = rollup(series_clean(crawl), "1h").persist(StorageLevel.MEMORY_AND_DISK)
+    t1h = rollup(series_clean(crawl, keep_text=False), "1h").persist(StorageLevel.MEMORY_AND_DISK)
     t1h.write.mode("overwrite").parquet(f"{scratch}/t1h")
     t1d = cascade(t1h, "1d").persist(StorageLevel.MEMORY_AND_DISK)
     t1d.write.mode("overwrite").parquet(f"{scratch}/t1d")
