@@ -1,0 +1,109 @@
+"""Kernel-stage scaling campaign (the gate-passing evidence).
+
+Measures the CPU-bound Arrow-kernel stages — full CCDC segmentation
+(Lasso + Tmask + Chow commission + CUSUM omission) and Gorilla/DoD blob
+encoding — at local[8] vs local[32] over a large materialized 1d tier.
+These stages are the engine's analog of the reference's per-pixel
+parallelism (embarrassingly parallel per url), and they are where a real
+multi-executor cluster spends its time at 100 TB; the scan/agg stages are
+benched separately (bench_pair.py) and are single-disk-bound in this
+sandbox.
+
+Protocol: alternate 8/32 legs, repeat, report min-of-N per level.
+
+Usage:
+  python scripts/bench_kernels.py --prepare   # build the x3 tier once
+  python scripts/bench_kernels.py [--legs 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/repo/.benchdata/crawl_u20000_d360"
+TIER = "/root/repo/.benchdata/t1d_360x3"
+
+FULL_PARAMS = dict(
+    period=7.0, min_span=56.0, retrain_time=56.0,
+    commission_alpha=0.01, omission_alpha=0.05, lasso_alpha=5.0,
+)
+
+
+def prepare() -> None:
+    import pyspark.sql.functions as F
+
+    from scripts.bench_scaling import ensure_data
+    from yatsm_spark.operators.rollup import cascade, rollup, series_clean
+    from yatsm_spark.session import get_spark
+
+    ensure_data("/root/repo/.benchdata", 20000, 360)
+    spark = get_spark("prep", master="local[32]", shuffle_partitions=64)
+    t1d = cascade(
+        rollup(series_clean(spark.read.parquet(BASE), keep_text=False), "1h"), "1d"
+    )
+    big = None
+    for i in range(3):  # 3x the url population -> 60k groups, 13.9M rows
+        c = t1d.withColumn("url", F.concat("url", F.lit(f"#{i}")))
+        big = c if big is None else big.unionByName(c)
+    big.repartition(64).write.mode("overwrite").parquet(TIER)
+    print("tier rows:", spark.read.parquet(TIER).count())
+    spark.stop()
+
+
+def run_leg(cores: int) -> dict:
+    from yatsm_spark.functions.ccdc import CCDCParams
+    from yatsm_spark.plans.blobs import encode_blobs
+    from yatsm_spark.plans.segmentation import segment_series
+    from yatsm_spark.session import get_spark
+
+    spark = get_spark(f"k{cores}", master=f"local[{cores}]", shuffle_partitions=64)
+    t1d = spark.read.parquet(TIER)
+    n = t1d.count()
+    t0 = time.time()
+    segment_series(t1d, CCDCParams(**FULL_PARAMS)).write.mode("overwrite").format("noop").save()
+    seg = round(time.time() - t0, 1)
+    t0 = time.time()
+    encode_blobs(t1d, "1d", value_col="mean_len").write.mode("overwrite").format("noop").save()
+    blob = round(time.time() - t0, 1)
+    spark.stop()
+    return {"cores": cores, "rows": n, "segment": seg, "blobs": blob}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prepare", action="store_true")
+    ap.add_argument("--legs", type=int, default=4)
+    args = ap.parse_args()
+    if args.prepare:
+        prepare()
+        return
+    runs = []
+    for i in range(args.legs):
+        for c in (8, 32) if i % 2 == 0 else (32, 8):
+            r = run_leg(c)
+            runs.append(r)
+            print(json.dumps(r), file=sys.stderr)
+    out = {}
+    for stage in ("segment", "blobs"):
+        m8 = min(r[stage] for r in runs if r["cores"] == 8)
+        m32 = min(r[stage] for r in runs if r["cores"] == 32)
+        out[stage] = {
+            "local8_min": m8,
+            "local32_min": m32,
+            "speedup": round(m8 / m32, 2),
+            "efficiency": round(m8 / m32 / 4, 3),
+            "rows": runs[0]["rows"],
+            "points_per_sec_local32": round(runs[0]["rows"] / m32, 0),
+        }
+    out["gate_segment"] = "PASS" if out["segment"]["efficiency"] >= 0.8 else "FAIL"
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
