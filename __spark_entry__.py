@@ -674,7 +674,7 @@ GROUP BY 1, 2
 """
 
 _DOCS_LANG_DIST = """
-SELECT source, lang, count(*) AS cnt, sum(n_chars) AS sum_chars
+SELECT source, lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1, 2
 """
 
