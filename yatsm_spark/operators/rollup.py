@@ -48,11 +48,13 @@ def series_clean(crawl: DataFrame, keep_text: bool = True) -> DataFrame:
     text, then the smallest md5 — content-derived, so results are
     partition-order and cluster-size invariant.
 
-    Physical plan: the dedup is a hash AGGREGATE (min over a
+    Physical plan: the dedup is an AGGREGATE (min over a
     (-text_len, md5, ...) struct — struct ordering realizes the
-    tie-break), not a row_number window: a window sort-shuffles the whole
-    raw table and scales poorly; the aggregate gets map-side partial
-    combine and keeps the pipeline sort-free.
+    tie-break), not a row_number window.  Struct buffers are not
+    hash-aggregable so Spark plans a partial/final SortAggregate pair:
+    still map-side combined before the shuffle, and the partial sort is
+    per-partition on the group key — unlike a window, no per-key global
+    ordering is required.
 
     ``keep_text=False`` is the rollup fast path: text is reduced to
     (length, md5) BEFORE the dedup shuffle, so ~60 bytes/row move instead
