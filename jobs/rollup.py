@@ -58,26 +58,41 @@ def build_tiers(crawl, tiers: list[str]):
 
 def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
             do_segment: bool, suffix: str = "") -> dict[str, int]:
+    # row-count lineage metrics ride the write itself via df.observe()
+    # (SURVEY.md §7 step 7) — no post-write re-read jobs
+    from pyspark.sql import Observation
+
     counts = {}
     tier_dfs = build_tiers(crawl, tiers)
     for t, df in tier_dfs.items():
         filled = gap_fill(df, t).withColumn("p_day", F.to_date("bucket_ts"))
+        obs = Observation(f"rollup_{t}")
         target = f"{out_dir}/rollup_{t}{suffix}"
-        write_table(filled, target, partition_cols=("p_day",))
-        counts[f"rollup_{t}"] = spark.read.parquet(target).count()
+        write_table(
+            filled.observe(obs, F.count(F.lit(1)).alias("rows")),
+            target,
+            partition_cols=("p_day",),
+        )
+        counts[f"rollup_{t}"] = int(obs.get["rows"])
     if do_blobs:
         src = tier_dfs[tiers[-1] if len(tiers) > 1 else tiers[0]]
         blobs = encode_blobs(src, tiers[-1], value_col="mean_len")
+        obs = Observation("segment_blobs")
         target = f"{out_dir}/segment_blobs{suffix}"
-        blobs.write.mode("overwrite").parquet(target)
-        counts["segment_blobs"] = spark.read.parquet(target).count()
+        blobs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(target)
+        counts["segment_blobs"] = int(obs.get["rows"])
     if do_segment:
         day_tier = tier_dfs.get("1d", tier_dfs[tiers[0]])
         params = CCDCParams(period=7.0, min_span=56.0, retrain_time=56.0)
         segs = segment_series(day_tier, params)
+        obs = Observation("segments")
         target = f"{out_dir}/segments{suffix}"
-        segs.write.mode("overwrite").parquet(target)
-        counts["segments"] = spark.read.parquet(target).count()
+        segs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(target)
+        counts["segments"] = int(obs.get["rows"])
     return counts
 
 
