@@ -87,6 +87,7 @@ def segment_series(
     params: CCDCParams | None = None,
     ts_col: str = "bucket_ts",
     value_col: str = "mean_len",
+    presorted: bool = False,
 ) -> DataFrame:
     """Run CCDC segmentation per url over a (url, ts, value) DataFrame.
 
@@ -109,6 +110,38 @@ def segment_series(
         )
         ts_col = "_obs_ts"
     src = src.select("url", ts_col, value_col)
-    return src.groupBy("url").applyInPandas(
-        make_segmenter(params, ts_col, value_col), schema=SEGMENTS_SCHEMA
+    segmenter = make_segmenter(params, ts_col, value_col)
+
+    def segment_partition(batches):
+        # partition-batched grouped map (same pattern as plans/blobs.py):
+        # rows arrive sorted by (url, ts); groups contiguous; the last url
+        # of each Arrow batch may continue in the next, so it is held back.
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            last_url = pdf["url"].iloc[-1]
+            tail = pdf["url"].to_numpy() == last_url
+            complete, pending = pdf[~tail], pdf[tail]
+            frames = [segmenter(g) for _, g in complete.groupby("url", sort=False)]
+            frames = [f for f in frames if not f.empty]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+        if pending is not None and not pending.empty:
+            out = segmenter(pending)
+            if not out.empty:
+                yield out
+
+    if presorted:
+        # caller contract: input partitions are already url-contiguous and
+        # (url, ts)-sorted — e.g. a url-bucketed, url-sorted table
+        # (sources/storage.py::write_bucketed_tier).  Kernel stage runs
+        # with ZERO shuffle: scan -> mapInPandas.
+        return src.mapInPandas(segment_partition, schema=SEGMENTS_SCHEMA)
+    return (
+        src.repartition("url")
+        .sortWithinPartitions("url", ts_col)
+        .mapInPandas(segment_partition, schema=SEGMENTS_SCHEMA)
     )

@@ -71,6 +71,33 @@ def read_table(spark: SparkSession, target: str) -> DataFrame:
     return spark.table(target) if use_iceberg() else spark.read.parquet(target)
 
 
+def write_bucketed_tier(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = N_BUCKETS,
+    key: str = "url",
+    ts_col: str = "bucket_ts",
+) -> None:
+    """Write a tier as a url-bucketed, url-sorted managed table so grouped
+    kernel stages (segmentation, blob encode) can run SHUFFLE-FREE on read
+    (`presorted=True` in plans/) — the sandbox analog of Iceberg's
+    storage-partitioned join / bucketed scan on a real cluster.
+
+    The pre-write ``repartition(n_buckets, key)`` uses the same
+    Murmur3-mod partitioning as ``bucketBy``, so each writer task holds
+    exactly one bucket and each bucket is ONE file — this is what makes a
+    bucket's scan partition globally (key, ts)-sorted; multiple files per
+    bucket would interleave keys and break group contiguity.
+    """
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key, ts_col)
+        .saveAsTable(table)
+    )
+
+
 def prune_url(df: DataFrame, url: str, n_buckets: int = N_BUCKETS) -> DataFrame:
     """Point-lookup pruning: fold the url's bucket into a p_bucket literal
     so the scan touches 1/n_buckets of the files (S3 semantics)."""
