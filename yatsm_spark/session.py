@@ -35,6 +35,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_confs: dict[str, str] | None = None,
+    hive: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
 
@@ -71,6 +72,14 @@ def get_spark(
 
     for k, v in {**_PERF_CONFS, **(extra_confs or {}), **_CORRECTNESS_CONFS}.items():
         builder = builder.config(k, v)
+
+    if hive:
+        # persistent (Derby) catalog: bucketed managed tables survive across
+        # sessions/processes — required for the shuffle-free presorted
+        # kernel path (sources/storage.py::write_bucketed_tier)
+        builder = builder.config(
+            "spark.sql.catalogImplementation", "hive"
+        ).enableHiveSupport()
 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
