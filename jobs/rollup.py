@@ -69,11 +69,18 @@ def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
         obs = Observation(f"rollup_{t}")
         target = f"{out_dir}/rollup_{t}{suffix}"
         write_table(
-            filled.observe(obs, F.count(F.lit(1)).alias("rows")),
+            filled.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                # A10: HLL sketch rides the write — distinct-url lineage
+                # without a countDistinct shuffle
+                F.approx_count_distinct("url").alias("approx_urls"),
+            ),
             target,
             partition_cols=("p_day",),
         )
         counts[f"rollup_{t}"] = int(obs.get["rows"])
+        counts[f"rollup_{t}_approx_urls"] = int(obs.get["approx_urls"])
     if do_blobs:
         src = tier_dfs[tiers[-1] if len(tiers) > 1 else tiers[0]]
         blobs = encode_blobs(src, tiers[-1], value_col="mean_len")
