@@ -320,6 +320,45 @@ def _q_emb_ann(spark, sf):
     return brute_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def _q_emb_neardup(spark, sf):
+    from yatsm_spark.operators.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
+def _q_docs_token_regex(spark, sf):
+    # BPE-ish token families counted with regexp (JVM regexp_count):
+    # alpha runs, digit runs, non-alnum marks — plus whitespace tokens
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+")).alias("n_alpha_runs"),
+        F.regexp_count("text", F.lit("[0-9]+")).alias("n_digit_runs"),
+        F.regexp_count("text", F.lit("[^a-z0-9 ]")).alias("n_marks"),
+    )
+
+
+def _q_docs_winnow_fp(spark, sf):
+    # rolling-hash document fingerprint: min portable hash over character
+    # 5-grams (winnowing's global-min special case) — content-locality-
+    # sensitive unlike md5-of-whole-text
+    docs = _t(spark, sf, "documents")
+    toks = F.expr(
+        "CASE WHEN length(text) >= 5 THEN "
+        "transform(sequence(0, length(text)-5), i -> substring(text, i+1, 5)) "
+        "ELSE array() END"
+    )
+    from yatsm_spark.functions.textops import portable_hash64
+
+    grams = docs.select("doc_id", F.explode(toks).alias("g"))
+    return (
+        grams.select("doc_id", portable_hash64(F.col("g")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("winnow_fp"))
+    )
+
+
 def _q_codec_roundtrip(spark, sf):
     """K11 round-trip as an ORACLE-CHECKED query: encode each user's hourly
     tier into delta-of-delta + Gorilla blobs, decode, and verify bit-exact
@@ -484,6 +523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash32": _q_docs_simhash,
         "emb_norms": _q_emb_norms,
         "emb_ann_topk": _q_emb_ann,
+        "emb_cosine_neardup": _q_emb_neardup,
+        "docs_token_regex": _q_docs_token_regex,
+        "docs_winnow_fp": _q_docs_winnow_fp,
         "codec_roundtrip": _q_codec_roundtrip,
         "salted_event_stats": _q_salted_stats,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -780,6 +822,35 @@ SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBL
 FROM embeddings
 """
 
+_EMB_NEARDUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(c, 6) AS sim FROM s WHERE c >= 0.4
+"""
+
+_DOCS_TOKEN_REGEX = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_runs,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_digit_runs,
+       CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS INTEGER) AS n_marks
+FROM documents
+"""
+
+_DOCS_WINNOW = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(length(text) - 4, 0)),
+                               i -> substr(text, CAST(i + 1 AS INTEGER), 5))) AS gram
+  FROM documents)
+SELECT doc_id, min(('0x' || substr(md5(gram), 1, 8))::BIGINT) AS winnow_fp
+FROM g GROUP BY doc_id
+"""
+
 _CODEC_RT = f"""
 SELECT user_id, count(*) AS n_points, true AS all_match
 FROM (SELECT user_id, {_H} AS bucket_ts FROM events GROUP BY 1, 2)
@@ -832,6 +903,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash32": _DOCS_SIMHASH,
         "emb_norms": _EMB_NORMS,
         "emb_ann_topk": _EMB_ANN,
+        "emb_cosine_neardup": _EMB_NEARDUP,
+        "docs_token_regex": _DOCS_TOKEN_REGEX,
+        "docs_winnow_fp": _DOCS_WINNOW,
         "codec_roundtrip": _CODEC_RT,
         "salted_event_stats": _SALTED,
         # rows-only by design:

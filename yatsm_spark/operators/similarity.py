@@ -74,6 +74,27 @@ def brute_topk(
     )
 
 
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (i < j) with cosine >=
+    threshold.  O(N^2) exact baseline — correct for dedup audits and small
+    N; the scale path buckets candidates first (``lsh_bucket_topk``'s
+    hyperplane buckets, or MinHash over quantized vectors) so only
+    same-bucket pairs are scored."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_sim_col(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a splitmix-style integer
     hash — no RNG object, identical on every executor and run."""
