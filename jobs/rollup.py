@@ -40,7 +40,7 @@ from yatsm_spark.plans.blobs import encode_blobs  # noqa: E402
 from yatsm_spark.plans.segmentation import segment_series  # noqa: E402
 from yatsm_spark.session import get_spark  # noqa: E402
 from yatsm_spark.sources import checkpoints as ckpt  # noqa: E402
-from yatsm_spark.sources.storage import write_table  # noqa: E402
+from yatsm_spark.sources.storage import write_bucketed_tier, write_table  # noqa: E402
 
 
 def build_tiers(crawl, tiers: list[str]):
@@ -57,7 +57,7 @@ def build_tiers(crawl, tiers: list[str]):
 
 
 def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
-            do_segment: bool, suffix: str = "") -> dict[str, int]:
+            do_segment: bool, suffix: str = "", bucketed: bool = False) -> dict[str, int]:
     # row-count lineage metrics ride the write itself via df.observe()
     # (SURVEY.md §7 step 7) — no post-write re-read jobs
     from pyspark.sql import Observation
@@ -81,9 +81,20 @@ def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
         )
         counts[f"rollup_{t}"] = int(obs.get["rows"])
         counts[f"rollup_{t}_approx_urls"] = int(obs.get["approx_urls"])
+    if do_blobs or do_segment:
+        kernel_tier = tiers[-1] if len(tiers) > 1 else tiers[0]
+        src = tier_dfs.get("1d", tier_dfs[kernel_tier])
+        if bucketed:
+            # write the kernel-stage input url-bucketed + url-sorted once,
+            # then BOTH kernel stages run shuffle-free (presorted scan ->
+            # mapInPandas; see sources/storage.py::write_bucketed_tier)
+            tbl = f"tier_kernel_input{suffix.replace('/', '_').replace('=', '_')}"
+            write_bucketed_tier(src, tbl)
+            src = spark.table(tbl)
     if do_blobs:
-        src = tier_dfs[tiers[-1] if len(tiers) > 1 else tiers[0]]
-        blobs = encode_blobs(src, tiers[-1], value_col="mean_len")
+        blobs = encode_blobs(
+            src, kernel_tier, value_col="mean_len", presorted=bucketed
+        )
         obs = Observation("segment_blobs")
         target = f"{out_dir}/segment_blobs{suffix}"
         blobs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
@@ -91,9 +102,8 @@ def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
         ).parquet(target)
         counts["segment_blobs"] = int(obs.get["rows"])
     if do_segment:
-        day_tier = tier_dfs.get("1d", tier_dfs[tiers[0]])
         params = CCDCParams(period=7.0, min_span=56.0, retrain_time=56.0)
-        segs = segment_series(day_tier, params)
+        segs = segment_series(src, params, presorted=bucketed)
         obs = Observation("segments")
         target = f"{out_dir}/segments{suffix}"
         segs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
@@ -113,6 +123,8 @@ def main() -> None:
     ap.add_argument("--chunked", action="store_true", help="per-bucket checkpointed mode")
     ap.add_argument("--segment", action="store_true")
     ap.add_argument("--no-blobs", action="store_true")
+    ap.add_argument("--bucketed", action="store_true",
+                    help="url-bucketed kernel input -> shuffle-free segment/blob stages (needs hive catalog)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -122,7 +134,7 @@ def main() -> None:
             raise SystemExit(f"unknown tier {t}; choose from {list(TIERS)}")
     run_id = args.run_id or uuid.uuid4().hex[:12]
 
-    spark = get_spark("yatsm_spark_rollup", master=args.master)
+    spark = get_spark("yatsm_spark_rollup", master=args.master, hive=args.bucketed)
     os.makedirs(f"{args.output}/_meta", exist_ok=True)
     metrics = ckpt.PartitionMetrics(f"{args.output}/_meta/lineage.jsonl")
 
@@ -139,7 +151,7 @@ def main() -> None:
 
     t_start = time.time()
     if not args.chunked:
-        counts = process(spark, crawl, args.output, tiers, not args.no_blobs, args.segment)
+        counts = process(spark, crawl, args.output, tiers, not args.no_blobs, args.segment, bucketed=args.bucketed)
         metrics.emit(run_id=run_id, partition_key="ALL", wall_ms=int((time.time() - t_start) * 1000), **counts)
     else:
         manifest_path = f"{args.output}/_meta/checkpoints"
@@ -153,7 +165,7 @@ def main() -> None:
             chunk = crawl.filter(F.col("p_bucket") == int(pk))
             rows_in = chunk.count()
             counts = process(spark, chunk, args.output, tiers, not args.no_blobs,
-                             args.segment, suffix=f"/b={pk}")
+                             args.segment, suffix=f"/b={pk}", bucketed=args.bucketed)
             wall = int((time.time() - t0) * 1000)
             ckpt.mark_done(spark, manifest_path, run_id, pk, rows_in,
                            sum(counts.values()), 0, wall)
