@@ -103,6 +103,41 @@ def test_monitor_stream_detects_break(spark, tmp_path):
     assert all(r["score"] > 3.5 for r in scored)
 
 
+def test_monitor_trains_across_many_tiny_batches(spark, tmp_path):
+    """Regression: the training buffer must persist in the state store.
+
+    Every observation arrives in its OWN micro-batch (maxFilesPerTrigger=1,
+    one row per file), so no single batch ever carries the 16 training rows.
+    A monitor that rebuilds its buffer per batch never trains and never
+    scores; the persisted-buffer monitor must produce output identical to
+    the single-batch run."""
+    path = str(tmp_path / "mon_tiny_src")
+    sink = str(tmp_path / "mon_tiny_out")
+    ckpt = str(tmp_path / "mon_tiny_ckpt")
+    t0 = datetime(2024, 1, 1)
+    rows = [("D", t0 + timedelta(hours=6 * i), 700 + (i % 3)) for i in range(16)]
+    rows += [("D", t0 + timedelta(hours=6 * (16 + i)), 2000) for i in range(8)]
+    for r in rows:  # one file per row -> one micro-batch per row
+        _write_batch(spark, path, [r])
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    q = (
+        monitor_stream(stream, threshold=3.5, consecutive=5, period=7.0)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    scored = sorted(spark.read.parquet(sink).collect(), key=lambda r: r["warc_ts"])
+    # identical to the single-batch case: 4 exceedances then the break
+    assert len(scored) == 5
+    assert [r["is_break"] for r in scored] == [False] * 4 + [True]
+    assert all(r["score"] > 3.5 for r in scored)
+
+
 def test_monitor_state_carries_across_batches(spark, tmp_path):
     path = str(tmp_path / "mon_src2")
     t0 = datetime(2024, 1, 1)

@@ -82,7 +82,10 @@ def stream_sessionize(
     )
 
 
-MONITOR_STATE_SCHEMA = "coef array<double>, rmse double, consec int, n_seen long"
+MONITOR_STATE_SCHEMA = (
+    "coef array<double>, rmse double, consec int, n_seen long, "
+    "buf_t array<double>, buf_y array<double>"
+)
 MONITOR_OUT_SCHEMA = (
     "url string, warc_ts timestamp, score double, consec int, is_break boolean"
 )
@@ -92,7 +95,12 @@ def make_monitor(threshold: float = 3.5, consecutive: int = 5, period: float = 7
     """Stateful K6 Shewhart monitor for ``applyInPandasWithState``.
 
     State per url = (harmonic coef, rmse, consecutive-exceedance counter,
-    n_seen).  The model is trained on the first ``train_n`` observations
+    n_seen, training buffers).  The training buffers (buf_t/buf_y) persist
+    across micro-batches so a key whose first ``train_n`` observations are
+    split over many batches still trains — output is therefore independent
+    of micro-batch boundaries (determinism contract; see
+    test_streaming.py::test_monitor_trains_across_many_tiny_batches).
+    The model is trained on the first ``train_n`` observations
     (simple OLS on the harmonic design — the streaming analog of K5's
     stable-period init); each later observation is scored
     |y-yhat|/max(rmse, 1); ``consecutive`` exceedances emit a break row and
@@ -106,13 +114,13 @@ def make_monitor(threshold: float = 3.5, consecutive: int = 5, period: float = 7
         from yatsm_spark.functions.ccdc import harmonic_design
 
         if state.exists:
-            coef, rmse, consec, n_seen = state.get
+            coef, rmse, consec, n_seen, buf_t, buf_y = state.get
             coef = np.array(coef) if coef is not None else None
+            buf_t = list(buf_t) if buf_t is not None else []
+            buf_y = list(buf_y) if buf_y is not None else []
         else:
             coef, rmse, consec, n_seen = None, 1.0, 0, 0
-
-        buf_t: list[float] = []
-        buf_y: list[float] = []
+            buf_t, buf_y = [], []
         out_rows: list[dict[str, Any]] = []
         for pdf in pdfs:
             pdf = pdf.sort_values("warc_ts", kind="mergesort")
@@ -128,6 +136,7 @@ def make_monitor(threshold: float = 3.5, consecutive: int = 5, period: float = 7
                         coef, *_ = np.linalg.lstsq(X, np.array(buf_y), rcond=None)
                         resid = np.array(buf_y) - X @ coef
                         rmse = max(float(np.sqrt(np.mean(resid**2))), 1.0)
+                        buf_t, buf_y = [], []  # trained: buffers done
                     continue
                 xrow = harmonic_design(np.array([td]), 1, period)[0]
                 score = abs(yv - float(xrow @ coef)) / max(rmse, 1.0)
@@ -155,6 +164,8 @@ def make_monitor(threshold: float = 3.5, consecutive: int = 5, period: float = 7
                 float(rmse),
                 int(consec),
                 int(n_seen),
+                [float(v) for v in buf_t],
+                [float(v) for v in buf_y],
             )
         )
         if out_rows:
