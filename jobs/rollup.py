@@ -82,8 +82,14 @@ def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
         counts[f"rollup_{t}"] = int(obs.get["rows"])
         counts[f"rollup_{t}_approx_urls"] = int(obs.get["approx_urls"])
     if do_blobs or do_segment:
-        kernel_tier = tiers[-1] if len(tiers) > 1 else tiers[0]
-        src = tier_dfs.get("1d", tier_dfs[kernel_tier])
+        # kernel stages prefer the 1d tier (bounded group size, regular
+        # cadence); the tier label MUST name the tier actually selected so
+        # segment_blobs metadata matches its contents
+        if "1d" in tier_dfs:
+            kernel_tier = "1d"
+        else:
+            kernel_tier = tiers[-1] if len(tiers) > 1 else tiers[0]
+        src = tier_dfs[kernel_tier]
         if bucketed:
             # write the kernel-stage input url-bucketed + url-sorted once,
             # then BOTH kernel stages run shuffle-free (presorted scan ->
