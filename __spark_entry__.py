@@ -289,7 +289,13 @@ def _q_docs_fingerprint(spark, sf):
 
 
 def _q_docs_jaccard(spark, sf):
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.1)
+    # max_shingle_freq ARMS the skew guard on the flagship path: a shingle
+    # appearing in >128 docs is stopword-grade and would otherwise dominate
+    # the shingle self-join shuffle (10^6 docs sharing one shingle = 10^12
+    # candidate pairs).  The oracle mirrors the same frequency filter.
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), k=3, threshold=0.1, max_shingle_freq=128
+    )
 
 
 def _q_docs_minhash(spark, sf):
@@ -777,12 +783,16 @@ sh AS (
 
 _DOCS_JACCARD = f"""
 WITH {_SHINGLES_CTE},
-e AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+e0 AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+-- skew guard (mirrors max_shingle_freq=128): drop stopword-grade shingles
+e AS (SELECT doc_id, tok FROM e0
+      WHERE tok IN (SELECT tok FROM e0 GROUP BY tok HAVING count(*) <= 128)),
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
   FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0)
+-- sizes from the PRUNED universe (same as the operator)
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id)
 SELECT id_a, id_b, round(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard
 FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
 WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.1

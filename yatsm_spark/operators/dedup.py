@@ -86,13 +86,16 @@ def ngram_jaccard_pairs(
     explode -> self-join on shingle -> pair intersection counts ->
     |A∪B| = |A| + |B| - |A∩B|.  Returns (id_a, id_b, jaccard) with
     id_a < id_b.  ``max_shingle_freq`` prunes super-frequent shingles
-    before the join (scale guard; None = exact).
+    before the join (scale guard; None = exact).  Sizes are computed from
+    the PRUNED shingle universe so numerator and denominator agree —
+    computing |A| pre-prune would bias jaccard low for docs rich in
+    frequent shingles and drop genuine near-dups below threshold.
     """
     ex = shingle_rows(docs, k, id_col, text_col)
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
         freq = ex.groupBy("s").agg(F.count("*").alias("f"))
         ex = ex.join(freq.filter(F.col("f") <= max_shingle_freq), "s", "left_semi")
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
