@@ -142,24 +142,50 @@ def simhash64(text_col: str = "text", bits: int = 64) -> Column:
     to bit b of the token hash; bit set iff the sum is positive.
 
     Uses two independent 32-bit portable hashes for the low/high 32 bits so
-    an oracle can reproduce it without 64-bit hex parsing.  aggregate() over
-    the token array keeps everything in one codegen'd projection.
+    an oracle can reproduce it without 64-bit hex parsing.
+
+    Single-pass formulation: ONE aggregate() over the token array carries a
+    ``bits``-wide vote vector (zip_with accumulator += per-token ±1 bit
+    vector from literal bitmasks), then one zip_with against a literal
+    weight array packs the sign bits.  The per-bit formulation (one
+    aggregate pass per bit = 32-64 scans of the token array) produced the
+    identical result ~2x slower end-to-end on docs_simhash32.
     """
     toks = F.array_distinct(tokens(text_col))
-    h_lo = F.transform(toks, lambda t: portable_hash64(t))
-    h_hi = F.transform(toks, lambda t: portable_hash64(t, salt=1))
+    pairs = F.transform(
+        toks,
+        lambda t: F.struct(
+            portable_hash64(t).alias("lo"), portable_hash64(t, salt=1).alias("hi")
+        ),
+    )
+    lo_masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(min(bits, 32))])
+    hi_masks = F.array(*[F.lit(1 << (b - 32)).cast("bigint") for b in range(32, bits)])
 
-    def _vote(bit: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit) % 2 == 1, 1
-        ).otherwise(-1)
+    def _votevec(h: Column) -> Column:
+        def pm(masks: Column, word: Column) -> Column:
+            return F.transform(
+                masks,
+                lambda m: F.when(word.bitwiseAND(m) != 0, F.lit(1).cast("bigint"))
+                .otherwise(F.lit(-1).cast("bigint")),
+            )
 
-    out = F.lit(0).cast("bigint")
-    for b in range(bits):
-        src = h_lo if b < 32 else h_hi
-        vote = F.aggregate(src, F.lit(0).cast("bigint"), _vote(b % 32))
-        weight = (
-            F.lit(2 ** b).cast("bigint") if b < 63 else F.lit(-(2 ** 63)).cast("bigint")
-        )
-        out = out + F.when(vote > 0, weight).otherwise(F.lit(0).cast("bigint"))
-    return out
+        vec = pm(lo_masks, h["lo"])
+        if bits > 32:
+            vec = F.concat(vec, pm(hi_masks, h["hi"]))
+        return vec
+
+    def _accum(acc: Column, h: Column) -> Column:
+        return F.zip_with(acc, _votevec(h), lambda a, b: a + b)
+
+    votes = F.aggregate(
+        pairs, F.array_repeat(F.lit(0).cast("bigint"), bits), _accum
+    )
+    weights = F.array(
+        *[F.lit(2**b if b < 63 else -(2**63)).cast("bigint") for b in range(bits)]
+    )
+    packed = F.zip_with(
+        votes,
+        weights,
+        lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(packed, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
