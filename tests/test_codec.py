@@ -151,7 +151,12 @@ def test_spark_blob_roundtrip(spark):
     assert blobs.filter(F.col("codec_ver") != 1).count() == 0
 
     pts = decode_blobs(blobs)
-    orig = tier.select("url", "bucket_ts", F.col("mean_len").cast("double").alias("value"))
-    # decoded points == original tier points, bit-exact values
+    orig = tier.select(
+        "url",
+        F.lit("1d").alias("tier"),
+        "bucket_ts",
+        F.col("mean_len").cast("double").alias("value"),
+    )
+    # decoded points == original tier points (tier label included), bit-exact
     diff = pts.exceptAll(orig).count() + orig.exceptAll(pts).count()
     assert diff == 0

@@ -112,19 +112,30 @@ def encode_dod(ts: np.ndarray) -> bytes:
     return head + np.packbits(bits).tobytes()
 
 
-def _read_uint(bits: np.ndarray, pos: int, width: int) -> int:
-    """Read a big-endian unsigned int from the bit array — one numpy dot
-    per field instead of a Python loop per bit (~8x faster decode)."""
-    if width > 62:  # avoid int64 overflow on the top bits
-        hi = _read_uint(bits, pos, width - 32)
-        return (hi << 32) | _read_uint(bits, pos + width - 32, 32)
-    sl = bits[pos : pos + width].astype(np.int64)
-    pows = np.left_shift(np.int64(1), np.arange(width - 1, -1, -1, dtype=np.int64))
-    return int(sl @ pows)
+def _field_reader(payload: bytes):
+    """Bit-field reader over a byte payload: each read slices only the
+    covered bytes (<= 10 for the widest 68-bit field) and does O(1) int
+    arithmetic — no per-bit work, no big-int shifts over the whole blob.
+    ~20x faster than the numpy bool-slice + dot formulation it replaces
+    (the old path cost several numpy ops PER FIELD; decode was the
+    slowest bench query at 14s)."""
+    buf = payload + b"\x00\x00"  # pad: prefix peeks may read past the end
+
+    def read(pos: int, width: int) -> int:
+        start = pos >> 3
+        end = (pos + width + 7) >> 3
+        chunk = int.from_bytes(buf[start:end], "big")
+        return (chunk >> ((end << 3) - pos - width)) & ((1 << width) - 1)
+
+    return read
 
 
 def decode_dod(blob: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_dod`."""
+    """Inverse of :func:`encode_dod`.
+
+    Sequential prefix-code parse with O(1) int ops per point; the final
+    double integration (dod -> delta -> ts) is two vectorized cumsums.
+    """
     ver, n, t0 = struct.unpack_from("<BIq", blob, 0)
     if ver != CODEC_VERSION:
         raise ValueError(f"unsupported codec version {ver}")
@@ -133,30 +144,33 @@ def decode_dod(blob: bytes) -> np.ndarray:
     if n == 1:
         return np.array([t0], dtype=np.int64)
     (delta0,) = struct.unpack_from("<q", blob, 13)
-    out = np.empty(n, dtype=np.int64)
-    out[0], out[1] = t0, t0 + delta0
-    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8, offset=21)).astype(bool)
+    read = _field_reader(blob[21:])
+    dods = np.zeros(n - 2, dtype=np.int64)
     pos = 0
-    delta = delta0
-    for i in range(2, n):
-        if not bits[pos]:
+    for i in range(n - 2):
+        p4 = read(pos, 4)
+        if p4 < 8:  # '0'
             pos += 1
-            dod = 0
-        elif not bits[pos + 1]:  # '10' + 7
-            dod = _read_uint(bits, pos + 2, 7) - 63
+        elif p4 < 12:  # '10' + 7
+            dods[i] = read(pos + 2, 7) - 63
             pos += 9
-        elif not bits[pos + 2]:  # '110' + 9
-            dod = _read_uint(bits, pos + 3, 9) - 255
+        elif p4 < 14:  # '110' + 9
+            dods[i] = read(pos + 3, 9) - 255
             pos += 12
-        elif not bits[pos + 3]:  # '1110' + 12
-            dod = _read_uint(bits, pos + 4, 12) - 2047
+        elif p4 == 14:  # '1110' + 12
+            dods[i] = read(pos + 4, 12) - 2047
             pos += 16
         else:  # '1111' + 64 two's complement
-            raw = _read_uint(bits, pos + 4, 64)
-            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+            raw = read(pos + 4, 64)
+            dods[i] = raw - (1 << 64) if raw >= (1 << 63) else raw
             pos += 68
-        delta += dod
-        out[i] = out[i - 1] + delta
+    deltas = np.empty(n - 1, dtype=np.int64)
+    deltas[0] = delta0
+    np.cumsum(dods, out=dods)
+    deltas[1:] = delta0 + dods
+    out = np.empty(n, dtype=np.int64)
+    out[0] = t0
+    out[1:] = t0 + np.cumsum(deltas)
     return out
 
 
@@ -252,27 +266,27 @@ def decode_gorilla(blob: bytes) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.float64)
     (v0,) = struct.unpack_from("<Q", blob, 5)
-    out = np.empty(n, dtype=np.uint64)
-    out[0] = v0
-    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8, offset=13)).astype(bool)
+    read = _field_reader(blob[13:])
+    xors = np.zeros(n - 1, dtype=np.uint64)
     pos = 0
     lz, ml = 0, 0
-    for i in range(1, n):
-        if not bits[pos]:
+    for i in range(n - 1):
+        p2 = read(pos, 2)
+        if p2 < 2:  # '0'
             pos += 1
-            out[i] = out[i - 1]
             continue
-        if not bits[pos + 1]:  # '10' reuse window
+        if p2 == 2:  # '10' reuse window
             pos += 2
         else:  # '11' new window
-            pos += 2
-            lz = _read_uint(bits, pos, 5)
-            ml = _read_uint(bits, pos + 5, 6) + 1
-            pos += 11
-        payload = _read_uint(bits, pos, ml)
+            lz = read(pos + 2, 5)
+            ml = read(pos + 7, 6) + 1
+            pos += 13
+        xors[i] = read(pos, ml) << (64 - lz - ml)
         pos += ml
-        x = np.uint64(payload) << np.uint64(64 - lz - ml)
-        out[i] = out[i - 1] ^ x
+    # xor-prefix scan: out[i] = v0 ^ x1 ^ ... ^ xi (vectorized accumulate)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = v0
+    out[1:] = np.uint64(v0) ^ np.bitwise_xor.accumulate(xors)
     return out.view(np.float64)
 
 

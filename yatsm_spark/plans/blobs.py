@@ -32,7 +32,7 @@ BLOBS_SCHEMA = (
     "n_points int, ts_blob binary, val_blob binary, codec_ver int"
 )
 
-POINTS_SCHEMA = "url string, bucket_ts timestamp, value double"
+POINTS_SCHEMA = "url string, tier string, bucket_ts timestamp, value double"
 
 
 def encode_blobs(
@@ -111,25 +111,40 @@ def encode_blobs(
 
 
 def decode_blobs(blobs: DataFrame) -> DataFrame:
-    """Inverse of :func:`encode_blobs`: one row per encoded point."""
+    """Inverse of :func:`encode_blobs`: one row per encoded point.
 
-    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, row in pdf.iterrows():
-            ts_us, vals = decode_series(bytes(row["ts_blob"]), bytes(row["val_blob"]))
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "url": row["url"],
-                        "bucket_ts": pd.to_datetime(ts_us, unit="us"),
-                        "value": vals,
-                    }
-                )
+    Blob rows decode independently, so this is ``mapInPandas`` over the
+    scan — ZERO shuffle (the old ``groupBy(url).applyInPandas`` paid a hash
+    exchange for grouping the decode never needed).  ``tier`` is carried
+    through so a multi-tier blobs table decodes to distinguishable series
+    (1h and 1d points for one url never collapse into one series).
+    """
+
+    def decode_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            urls: list = []
+            tiers: list = []
+            ts_parts: list = []
+            val_parts: list = []
+            for url, tier, tsb, vb in zip(
+                pdf["url"], pdf["tier"], pdf["ts_blob"], pdf["val_blob"]
+            ):
+                ts_us, vals = decode_series(bytes(tsb), bytes(vb))
+                urls.append(np.repeat(url, ts_us.size))
+                tiers.append(np.repeat(tier, ts_us.size))
+                ts_parts.append(ts_us)
+                val_parts.append(vals)
+            yield pd.DataFrame(
+                {
+                    "url": np.concatenate(urls),
+                    "tier": np.concatenate(tiers),
+                    "bucket_ts": pd.to_datetime(np.concatenate(ts_parts), unit="us"),
+                    "value": np.concatenate(val_parts),
+                }
             )
-        return (
-            pd.concat(frames)
-            if frames
-            else pd.DataFrame(columns=["url", "bucket_ts", "value"])
-        )
 
-    return blobs.groupBy("url").applyInPandas(decode_group, schema=POINTS_SCHEMA)
+    return blobs.select("url", "tier", "ts_blob", "val_blob").mapInPandas(
+        decode_batches, schema=POINTS_SCHEMA
+    )
