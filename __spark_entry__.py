@@ -332,6 +332,21 @@ def _q_emb_neardup(spark, sf):
     return cosine_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
 
 
+def _q_emb_neardup_lsh(spark, sf):
+    """The SCALE near-dup path: hyperplane-LSH bucketed candidates,
+    exact-scored.  Every emitted pair is verified with the exact cosine, so
+    the result is a deterministic subset of emb_cosine_neardup; the oracle
+    reproduces the bucket pipeline from the same hyperplane literals."""
+    from yatsm_spark.operators.similarity import lsh_neardup_pairs
+
+    # 4 planes x 4 tables: ~50% recall at sim 0.4 (p_plane = 1 - θ/π =
+    # 0.63 -> 1-(1-0.63^4)^4).  Production near-dup thresholds (>=0.9)
+    # support more planes (smaller buckets) at the same recall.
+    return lsh_neardup_pairs(
+        _t(spark, sf, "embeddings"), dim=64, threshold=0.4, n_planes=4, n_tables=4
+    )
+
+
 def _q_docs_token_regex(spark, sf):
     # BPE-ish token families counted with regexp (JVM regexp_count):
     # alpha runs, digit runs, non-alnum marks — plus whitespace tokens
@@ -530,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norms": _q_emb_norms,
         "emb_ann_topk": _q_emb_ann,
         "emb_cosine_neardup": _q_emb_neardup,
+        "emb_neardup_lsh": _q_emb_neardup_lsh,
         "docs_token_regex": _q_docs_token_regex,
         "docs_winnow_fp": _q_docs_winnow_fp,
         "codec_roundtrip": _q_codec_roundtrip,
@@ -842,6 +858,42 @@ s AS (
 SELECT id_a, id_b, round(c, 6) AS sim FROM s WHERE c >= 0.4
 """
 
+def _emb_neardup_lsh_oracle(
+    dim: int = 64, n_planes: int = 8, n_tables: int = 2, threshold: float = 0.4
+) -> str:
+    """DuckDB twin of lsh_neardup_pairs: the SAME seeded hyperplanes are
+    emitted as double literals, buckets re-derived with the same
+    round-before-sign rule, candidates = same bucket in ANY table, then
+    exact cosine >= threshold — a full hash-checkable oracle for the
+    approximate operator (not just a subset check)."""
+    from yatsm_spark.operators.similarity import _hyperplanes
+
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + t)
+        terms = [
+            "(CASE WHEN round(list_dot_product(e, ["
+            + ", ".join(repr(x) for x in plane)
+            + f"]::DOUBLE[]), 6) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        ]
+        bucket_cols.append("(" + " + ".join(terms) + f") AS b{t}")
+    any_tbl = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bkt AS (SELECT vec_id, e, {', '.join(bucket_cols)} FROM v),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id AND ({any_tbl})),
+s AS (
+  SELECT id_a, id_b,
+         list_dot_product(x.e, y.e)
+           / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS c
+  FROM cand JOIN v x ON cand.id_a = x.vec_id JOIN v y ON cand.id_b = y.vec_id)
+SELECT id_a, id_b, round(c, 6) AS sim FROM s WHERE c >= {threshold}
+"""
+
+
 _DOCS_TOKEN_REGEX = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
@@ -914,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_norms": _EMB_NORMS,
         "emb_ann_topk": _EMB_ANN,
         "emb_cosine_neardup": _EMB_NEARDUP,
+        "emb_neardup_lsh": _emb_neardup_lsh_oracle(n_planes=4, n_tables=4),
         "docs_token_regex": _DOCS_TOKEN_REGEX,
         "docs_winnow_fp": _DOCS_WINNOW,
         "codec_roundtrip": _CODEC_RT,

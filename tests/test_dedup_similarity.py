@@ -90,3 +90,36 @@ def test_lsh_topk_finds_close_neighbor(vectors):
     got = [r["n_id"] for r in out.collect()]
     assert 1 in got  # same-octant neighbor always shares the bucket
     assert 4 not in got  # opposite vector can never share all sign bits
+
+
+def test_lsh_neardup_subset_of_exact(vectors):
+    """Precision contract: every LSH pair is exact-scored, so the LSH set
+    is a subset of the all-pairs exact set; the near-identical pair (0,1)
+    must be recalled (same octant under any hyperplane set)."""
+    from yatsm_spark.operators.similarity import cosine_neardup_pairs, lsh_neardup_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_neardup_pairs(vectors, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in lsh_neardup_pairs(
+            vectors, dim=3, threshold=0.9, n_planes=4, n_tables=2
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert (0, 1) in lsh
+    for k, v in lsh.items():
+        assert exact[k] == v  # exact-scored, not approximated
+
+
+def test_lsh_neardup_plan_has_no_nested_loop_join(vectors):
+    """Scale contract: the pair join must be a hash/sort-merge equi-join on
+    (table, bucket) — never BroadcastNestedLoopJoin / CartesianProduct
+    (the O(N^2) shape the LSH path exists to avoid)."""
+    from yatsm_spark.operators.similarity import lsh_neardup_pairs
+
+    plan = lsh_neardup_pairs(vectors, dim=3, n_planes=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

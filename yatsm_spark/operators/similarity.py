@@ -81,10 +81,10 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (i < j) with cosine >=
-    threshold.  O(N^2) exact baseline — correct for dedup audits and small
-    N; the scale path buckets candidates first (``lsh_bucket_topk``'s
-    hyperplane buckets, or MinHash over quantized vectors) so only
-    same-bucket pairs are scored."""
+    threshold.  O(N^2) exact baseline — the small-N VERIFIER for
+    :func:`lsh_neardup_pairs`, which is the scale path (hyperplane-bucketed
+    candidates, exact-scored; shuffle bounded by bucket population).  Do
+    not run this form over a full corpus."""
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -107,6 +107,79 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
         return (x / 2**64) * 2.0 - 1.0
 
     return [[h(p * dim + d) for d in range(dim)] for p in range(n_planes)]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id from literal hyperplanes.  The dot product is
+    rounded to 6dp BEFORE the sign test so the bucket id is reproducible
+    across engines (DuckDB oracle uses the identical literals + rounding)."""
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        out = out + F.when(
+            F.round(_dot(vec, arr), 6) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+    return out
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-duplicate PAIRS at scale: hyperplane-LSH bucketed
+    candidates, exact-scored — the 100 TB replacement for the O(N^2)
+    all-pairs :func:`cosine_neardup_pairs` (kept as the small-N verifier).
+
+    Plan shape: each vector lands in ``n_tables`` buckets (one per
+    hyperplane table, seeds 42+t); the self-join key is (table, bucket), so
+    the shuffle is bounded by bucket population — never all pairs.  A pair
+    colliding in several tables is deduped before scoring; every emitted
+    pair is verified with the EXACT cosine, so output ⊆ the exact pair set
+    (approximation only costs recall, never precision).  Deterministic:
+    seeded hash-derived hyperplanes, no RNG state — the DuckDB oracle
+    reproduces the full pipeline from the same literals.
+    """
+    tables = [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+    bucketed = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), _bucket_expr(F.col(vec_col), pl).alias("bkt")
+                    )
+                    for t, pl in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("sim", cosine_sim_col(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
 
 
 def lsh_bucket_topk(
