@@ -107,3 +107,69 @@ def test_segmentation_over_crawl(spark):
     broken_urls = {r["url"] for r in segs.filter("status = 'broken'").collect()}
     assert any("page000003" in u for u in broken_urls)
     segs.unpersist()
+
+
+def _multi_break_series(rng, n_days=9 * 365, cadence=4):
+    """Long series with a level shift every ~18 months (several breaks)."""
+    t = np.arange(0, n_days, cadence, dtype=np.float64)
+    y = 2000.0 + 300.0 * np.cos(2 * math.pi * t / 365.25) + rng.normal(0, 20.0, t.size)
+    for k, shift_at in enumerate(range(540, n_days - 200, 540)):
+        y = y + np.where(t >= shift_at, 700.0 * (1 if k % 2 == 0 else -1), 0.0)
+    return t, y
+
+
+def _seg_key(s):
+    return (
+        round(s.start_t, 6),
+        round(s.end_t, 6),
+        None if math.isnan(s.break_t) else round(s.break_t, 6),
+        s.n_obs,
+        s.status,
+        tuple(round(float(c), 9) for c in s.coef),
+        None if math.isnan(s.rmse) else round(s.rmse, 9),
+    )
+
+
+def test_chunked_fit_equals_single_pass():
+    """Split-and-stitch over small windows == the single-pass fit, exactly
+    (same segments, same coefficients) — the no-loss replacement for the
+    old downsampling guard."""
+    from yatsm_spark.functions.ccdc import fit_series, fit_series_chunked
+
+    rng = np.random.default_rng(11)
+    t, y = _multi_break_series(rng)
+    params = CCDCParams()
+    full = fit_series(t, y, params)
+    assert sum(s.status.startswith("broken") for s in full) >= 3
+    for chunk_rows in (150, 301):
+        chunked = fit_series_chunked(t, y, params, chunk_rows=chunk_rows)
+        assert [_seg_key(s) for s in chunked] == [_seg_key(s) for s in full]
+
+
+def test_chunked_fit_equals_single_pass_with_postpasses():
+    """Equality must survive the Chow-merge and CUSUM-omission post-passes
+    (they run once over the stitched list) and the global MAD screen."""
+    from yatsm_spark.functions.ccdc import fit_series, fit_series_chunked
+
+    rng = np.random.default_rng(13)
+    t, y = _multi_break_series(rng)
+    params = CCDCParams(commission_alpha=0.01, omission_alpha=0.05, screen="mad")
+    full = fit_series(t, y, params)
+    chunked = fit_series_chunked(t, y, params, chunk_rows=200)
+    assert [_seg_key(s) for s in chunked] == [_seg_key(s) for s in full]
+
+
+def test_giant_group_segments_exactly(spark):
+    """A url group larger than max_group_rows produces segments EQUAL to
+    the unbounded fit — and never carries a '+downsampled' status."""
+    rng = np.random.default_rng(17)
+    t, y = _multi_break_series(rng, n_days=6 * 365, cadence=2)
+    pdf = pd.DataFrame(
+        {"url": "fx://giant", "bucket_ts": BASE + pd.to_timedelta(t, unit="D"), "mean_len": y}
+    )
+    sdf = spark.createDataFrame(pdf)
+    bounded = segment_series(sdf, CCDCParams(), max_group_rows=250).collect()
+    unbounded = segment_series(sdf, CCDCParams(), max_group_rows=10**9).collect()
+    key = lambda r: (r["seg_id"], r["start_ts"], r["end_ts"], r["break_ts"], r["n_obs"], r["status"], tuple(r["coef"]))
+    assert sorted(map(key, bounded)) == sorted(map(key, unbounded))
+    assert all("downsampled" not in r["status"] for r in bounded)

@@ -32,7 +32,7 @@ groups via applyInPandas.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 
@@ -590,3 +590,86 @@ def _merge_commission(
         else:
             out.append(nxt)
     return out
+
+
+def fit_series_chunked(
+    t: np.ndarray,
+    y: np.ndarray,
+    params: CCDCParams = CCDCParams(),
+    chunk_rows: int = 50_000,
+) -> list[Segment]:
+    """Split-and-stitch :func:`fit_series` for giant series — EXACT results
+    with bounded per-fit work (SURVEY.md §4.2's "one genuinely custom
+    physical concern"; replaces the old lossy down-sampling guard).
+
+    Why exactness holds: the CCDC loop is memoryless across confirmed
+    breaks — after a break at index b it restarts training at b with no
+    carried state.  So we fit a window of ``chunk_rows``, COMMIT only the
+    segments up to and including the window's last break-confirmed
+    ('broken') segment, and re-fit from that break.  Trailing unconfirmed
+    segments (stable/unstable — they might extend past the window) are
+    discarded and re-derived with more data.  A window containing no
+    confirmed break doubles and refits (a segment genuinely longer than the
+    window can't be confirmed without its data — memory is bounded by the
+    longest REAL segment, the information-theoretic floor).  The final
+    window keeps its trailing segments verbatim; post-passes (Chow merge,
+    CUSUM omission) run once over the stitched list exactly as fit_series
+    runs them over its own.
+
+    Requires strictly increasing timestamps within a series (rollup tiers
+    guarantee one row per bucket).
+    """
+    t = np.asarray(t, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    order = np.argsort(t, kind="stable")
+    t, y = t[order], y[order]
+    if t.size <= chunk_rows:
+        return fit_series(t, y, params)
+
+    base = params
+    if base.screen == "mad":
+        # the MAD screen is global in fit_series; apply it once up front so
+        # per-chunk fits see the identical post-screen series
+        keep = mad_screen(y, base.screen_crit)
+        t, y = t[keep], y[keep]
+        base = replace(base, screen="none")
+    # post-passes run over the stitched whole, not per chunk
+    base = replace(base, commission_alpha=0.0, omission_alpha=0.0)
+
+    n = t.size
+    segments: list[Segment] = []
+    pos, window = 0, chunk_rows
+    while pos < n:
+        end = min(pos + window, n)
+        if end == n and segments and n - pos < params.min_obs:
+            break  # fit_series emits nothing for a short tail after a break
+        segs = fit_series(t[pos:end], y[pos:end], base)
+        if end == n:
+            segments.extend(segs)
+            break
+        last_broken = None
+        for s in segs:
+            if s.status.startswith("broken"):
+                last_broken = s
+        if last_broken is None:
+            window *= 2  # no confirmed break in window: widen and refit
+            continue
+        for s in segs:
+            segments.append(s)
+            if s is last_broken:
+                break
+        pos = int(np.searchsorted(t, last_broken.break_t, side="left"))
+        window = chunk_rows
+
+    if params.commission_alpha > 0 or params.omission_alpha > 0:
+        X = harmonic_design(t, params.harmonic_order, params.period)
+        if params.commission_alpha > 0:
+            segments = _merge_commission(segments, t, y, X, params)
+        if params.omission_alpha > 0:
+            for seg in segments:
+                m = (t >= seg.start_t) & (t <= seg.end_t)
+                if m.sum() > X.shape[1] + 4 and cusum_omission(
+                    X[m], y[m], params.omission_alpha
+                ):
+                    seg.status = seg.status + "+omission"
+    return segments

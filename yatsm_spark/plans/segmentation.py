@@ -8,10 +8,11 @@ per url series, pure-numpy kernels inside (functions/ccdc.py), structured
 Scale notes:
   * ONE shuffle (hash on url).  Group size is bounded by construction when
     the input is a rollup tier (a decade of 1d buckets is ~3.7k rows), so a
-    group always fits an Arrow batch; ``max_group_rows`` guards against
-    feeding raw hourly series of giant urls by accident — such groups are
-    DOWN-SAMPLED deterministically (every k-th obs) rather than silently
-    truncated, and flagged in ``status``.
+    group always fits an Arrow batch; groups beyond ``max_group_rows``
+    (raw hourly series of giant urls) are fit split-and-stitch
+    (functions/ccdc.py::fit_series_chunked) — per-window work stays
+    bounded and the result is EXACTLY the single-pass fit, because CCDC
+    restarts memoryless at every confirmed break.
   * The kernels are O(n·k²) per group and embarrassingly parallel across
     urls — exactly the reference's parallelism model, minus its external
     process scheduler (Spark tasks replace GNU parallel).
@@ -26,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from yatsm_spark.functions.ccdc import CCDCParams, fit_series
+from yatsm_spark.functions.ccdc import CCDCParams, fit_series_chunked
 
 SEGMENTS_SCHEMA = (
     "url string, seg_id int, start_ts timestamp, end_ts timestamp, "
@@ -51,18 +52,17 @@ def make_segmenter(params: CCDCParams, ts_col: str, value_col: str, max_group_ro
     def segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
         url = pdf["url"].iloc[0]
         pdf = pdf.sort_values(ts_col, kind="mergesort")
-        downsampled = False
-        if len(pdf) > max_group_rows:
-            stride = math.ceil(len(pdf) / max_group_rows)
-            pdf = pdf.iloc[::stride]
-            downsampled = True
         t = pdf[ts_col].astype("int64").to_numpy() / 1e9 / _SECONDS_PER_DAY
         y = pdf[value_col].to_numpy(dtype=np.float64)
         ok = ~np.isnan(y)
-        segs = fit_series(t[ok], y[ok], params)
+        # giant groups (a decade of hourly obs) are fit split-and-stitch:
+        # windows of max_group_rows, committing only break-confirmed
+        # segments and re-fitting from the last break — EXACTLY equal to
+        # the single-pass fit (see fit_series_chunked), no downsampling
+        segs = fit_series_chunked(t[ok], y[ok], params, chunk_rows=max_group_rows)
         rows = []
         for sid, s in enumerate(segs):
-            status = s.status + ("+downsampled" if downsampled else "")
+            status = s.status
             rows.append(
                 {
                     "url": url,
@@ -88,6 +88,7 @@ def segment_series(
     ts_col: str = "bucket_ts",
     value_col: str = "mean_len",
     presorted: bool = False,
+    max_group_rows: int = 50_000,
 ) -> DataFrame:
     """Run CCDC segmentation per url over a (url, ts, value) DataFrame.
 
@@ -110,7 +111,7 @@ def segment_series(
         )
         ts_col = "_obs_ts"
     src = src.select("url", ts_col, value_col)
-    segmenter = make_segmenter(params, ts_col, value_col)
+    segmenter = make_segmenter(params, ts_col, value_col, max_group_rows)
 
     def segment_partition(batches):
         # partition-batched grouped map (same pattern as plans/blobs.py):
