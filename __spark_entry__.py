@@ -5,8 +5,8 @@ LOCF over the events series table).
 ``queries()`` — one entry per implemented operator from SURVEY.md §2 plus the
 training-data-pipeline ops (dedup / similarity / text analysis).
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query;
-CCDC-kernel queries are rows-only by design (golden-fixture-tested instead,
-tests/test_segmentation.py).
+deterministic CCDC-kernel queries use golden-table oracles (committed
+fixture parquet = expected output, scripts/make_golden_fixtures.py).
 
 Cross-engine parity rules used throughout (verified this session):
   * buckets = epoch-floor + timestamp_seconds (Spark) == make_timestamp
@@ -935,6 +935,31 @@ SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
 """
 
 
+_FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
+
+
+def _golden(name: str, cols: str) -> str:
+    """Golden-table oracle for deterministic non-SQL-expressible queries:
+    the committed fixture parquet (scripts/make_golden_fixtures.py) IS the
+    expected output, so the driver's value-hash compare catches any drift
+    in the kernel pipeline — a full-strength check, not rows-only."""
+    return f"SELECT {cols} FROM '{_FIXTURE_DIR}/{name}.parquet'"
+
+
+_SEGMENTS_GOLDEN = _golden(
+    "ccdc_segments_synth",
+    "url, seg_id, CAST(start_ts AS TIMESTAMP) AS start_ts, "
+    "CAST(end_ts AS TIMESTAMP) AS end_ts, CAST(break_ts AS TIMESTAMP) AS break_ts, "
+    "n_obs, status",
+)
+_CHANGEMAP_GOLDEN = _golden(
+    "ccdc_changemap_synth",
+    "url, n_breaks, CAST(first_break AS TIMESTAMP) AS first_break, "
+    "CAST(last_break AS TIMESTAMP) AS last_break",
+)
+_CLASSIFY_GOLDEN = _golden("ccdc_classify_synth", "url, seg_id, status, predicted_label")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1h": _ROLLUP_1H,
@@ -971,10 +996,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_winnow_fp": _DOCS_WINNOW,
         "codec_roundtrip": _CODEC_RT,
         "salted_event_stats": _SALTED,
+        # golden-table oracles (committed fixture parquet == expected
+        # output; kernels not SQL-expressible but fully deterministic):
+        "ccdc_segments_synth": _SEGMENTS_GOLDEN,
+        "ccdc_changemap_synth": _CHANGEMAP_GOLDEN,
+        "ccdc_classify_synth": _CLASSIFY_GOLDEN,
         # rows-only by design:
-        #   ccdc_segments_synth / ccdc_changemap_synth — CCDC kernels are
-        #     not SQL-expressible; golden-fixture-tested in
-        #     tests/test_segmentation.py instead;
         #   minhash_lsh_pairs — band-collision candidate set (signatures
         #     themselves oracle-checked by docs_minhash_sigs);
         #   emb_ann_lsh — approximate by design (exact twin emb_ann_topk
