@@ -93,3 +93,17 @@ def test_fingerprint_is_order_insensitive(spark):
     fb = ckpt.fingerprint_chunk(b.repartition(2), ("id", "s"))
     fc = ckpt.fingerprint_chunk(c, ("id", "s"))
     assert fa == fb != fc
+
+
+def test_fingerprint_is_multiplicity_sensitive(spark):
+    """A row repeated an even number of times must NOT cancel out (plain
+    xor of row hashes did): duplicating an existing row changes the
+    fingerprint, as does adding the same row twice."""
+    base = [(1, "x"), (2, "y"), (3, "z")]
+    a = spark.createDataFrame(base, "id long, s string")
+    dup1 = spark.createDataFrame(base + [(1, "x")], "id long, s string")
+    dup2 = spark.createDataFrame(base + [(1, "x"), (1, "x")], "id long, s string")
+    fa = ckpt.fingerprint_chunk(a, ("id", "s"))
+    f1 = ckpt.fingerprint_chunk(dup1, ("id", "s"))
+    f2 = ckpt.fingerprint_chunk(dup2, ("id", "s"))
+    assert len({fa, f1, f2}) == 3

@@ -90,11 +90,23 @@ def pending_partitions(
 
 
 def fingerprint_chunk(df: DataFrame, cols: tuple[str, ...]) -> str:
-    """Order-insensitive content fingerprint of a chunk: bit_xor of row
-    hashes (xxhash64).  One narrow agg; no sort, no collect of data."""
-    row = df.select(
-        F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])).alias("fp")
-    ).collect()
+    """Order-insensitive, MULTIPLICITY-sensitive content fingerprint:
+    xor of xxhash64(row_hash, row_count) over distinct row hashes.
+
+    A plain xor of row hashes cancels any row repeated an even number of
+    times (common in crawl data pre-dedup), so a chunk gaining or losing a
+    duplicated pair kept its fingerprint and a stale checkpoint survived.
+    Hashing (row_hash, count) pairs keeps the combine order-insensitive
+    and xor-safe (distinct keys, no even-cancellation) without ANSI-mode
+    sum overflow.  Cost: one narrow 8-byte+count shuffle with map-side
+    partial aggregation; no sort, no data collect."""
+    row = (
+        df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("m"))
+        .select(F.bit_xor(F.xxhash64("h", "m")).alias("fp"))
+        .collect()
+    )
     return str(row[0]["fp"] if row and row[0]["fp"] is not None else 0)
 
 
