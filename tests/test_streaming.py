@@ -170,3 +170,65 @@ def test_monitor_state_carries_across_batches(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert len(rows) == 3
     assert all(not r["is_break"] and r["score"] < 3.5 for r in rows)
+
+
+def test_streamed_tier_reconciles_with_batch_backfill(spark, tmp_path):
+    """The §2.6 contract at the top of stream_rollup.py: streamed tiers use
+    the batch tier algebra (cnt+sum, never means), so a streamed window can
+    be UNIONED with a batch backfill and re-aggregated into exactly the
+    tier the batch engine computes over all rows — no raw-data re-read.
+
+    One bucket (hour 2) deliberately straddles the backfill/stream split to
+    prove partial aggregates merge, not just concatenate."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "recon_src")
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for u in ("A", "B"):
+        for i in range(40):  # every 20 min across ~13 hours
+            rows.append((u, t0 + timedelta(minutes=20 * i), 100 * (ord(u) % 7) + i))
+    cut = t0 + timedelta(hours=2, minutes=30)  # mid-bucket split
+    early = [r for r in rows if r[1] < cut]
+    late = [r for r in rows if r[1] >= cut]
+    # sentinel advances the watermark so every real window finalizes
+    sentinel = ("ZZZ", t0 + timedelta(days=3), 0)
+
+    batch_df = spark.createDataFrame(early, SCHEMA)
+    _write_batch(spark, path, late + [sentinel])
+
+    def agg_1h(df):
+        return df.groupBy(
+            "url", F.window("warc_ts", "1 hour").alias("w")
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum("text_len").alias("sum_val"),
+            F.min("text_len").alias("min_val"),
+            F.max("text_len").alias("max_val"),
+        ).select("url", F.col("w.start").alias("bucket_ts"), "cnt", "sum_val", "min_val", "max_val")
+
+    streamed = _run_stream(
+        spark, path, lambda s: stream_rollup(s, "1h", "2 hours"), "t_recon"
+    ).select("url", "bucket_ts", "cnt", "sum_val", "min_val", "max_val")
+    reconciled = (
+        streamed.unionByName(agg_1h(batch_df))
+        .groupBy("url", "bucket_ts")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+        .filter(F.col("url") != "ZZZ")
+    )
+    expected = agg_1h(spark.createDataFrame(rows, SCHEMA))
+    diff = reconciled.exceptAll(expected).count() + expected.exceptAll(reconciled).count()
+    assert diff == 0
+    # the straddled bucket really was split across the two sources
+    straddle = datetime(2024, 1, 1, 2)
+    assert any(r[1].hour == 2 for r in early) and any(
+        r[1].hour == 2 and r[1].day == 1 for r in late
+    )
+    assert reconciled.filter(
+        (F.col("bucket_ts") == straddle) & (F.col("cnt") == 3)
+    ).count() == 2  # both urls: 3 obs/hour merged 1+2 across sources
