@@ -9,6 +9,7 @@ Usage (cluster):
     spark-submit --master ... --py-files engine.zip jobs/rollup.py \
         --input /path/to/crawl --output /path/to/out --run-id r1 \
         [--synthetic N_URLS:SPAN_DAYS] [--chunked] [--segment] [--no-blobs]
+        [--no-bucketed]
 
 Modes:
   * default (one-pass): the whole table in one DAG — maximum cluster
@@ -93,9 +94,28 @@ def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
         if bucketed:
             # write the kernel-stage input url-bucketed + url-sorted once,
             # then BOTH kernel stages run shuffle-free (presorted scan ->
-            # mapInPandas; see sources/storage.py::write_bucketed_tier)
+            # mapInPandas; see sources/storage.py::write_bucketed_tier).
+            # AUTO-REUSE: if the table already holds THIS input (content
+            # fingerprint stored as a table property matches), skip the
+            # rewrite — resumed/repeated runs go straight to the
+            # shuffle-free kernels.  A stale table never survives: any
+            # input change flips the multiplicity-sensitive fingerprint.
             tbl = f"tier_kernel_input{suffix.replace('/', '_').replace('=', '_')}"
-            write_bucketed_tier(src, tbl)
+            fp = ckpt.fingerprint_chunk(src, ("url", "bucket_ts", "mean_len"))
+            reuse = False
+            if spark.catalog.tableExists(tbl):
+                props = {
+                    r["key"]: r["value"]
+                    for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+                }
+                reuse = props.get("yatsm.input_fingerprint") == fp
+            print(f"bucketed kernel input {tbl}: {'REUSED' if reuse else 'written'} (fp={fp})")
+            if not reuse:
+                write_bucketed_tier(src, tbl)
+                spark.sql(
+                    f"ALTER TABLE {tbl} SET TBLPROPERTIES "
+                    f"('yatsm.input_fingerprint'='{fp}')"
+                )
             src = spark.table(tbl)
     if do_blobs:
         blobs = encode_blobs(
@@ -129,8 +149,11 @@ def main() -> None:
     ap.add_argument("--chunked", action="store_true", help="per-bucket checkpointed mode")
     ap.add_argument("--segment", action="store_true")
     ap.add_argument("--no-blobs", action="store_true")
-    ap.add_argument("--bucketed", action="store_true",
-                    help="url-bucketed kernel input -> shuffle-free segment/blob stages (needs hive catalog)")
+    ap.add_argument("--bucketed", action=argparse.BooleanOptionalAction, default=True,
+                    help="url-bucketed kernel input -> shuffle-free segment/blob "
+                         "stages (default ON; reused across runs via content "
+                         "fingerprint; --no-bucketed for catalogs without "
+                         "bucketBy support)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 

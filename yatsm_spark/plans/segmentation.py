@@ -77,7 +77,15 @@ def make_segmenter(params: CCDCParams, ts_col: str, value_col: str, max_group_ro
                     "status": status,
                 }
             )
-        return pd.DataFrame(rows)
+        out = pd.DataFrame(rows)
+        if len(out):
+            # pin dtypes so all-None/all-NaT columns (no-break groups)
+            # concat cleanly with mixed groups — object-dtype NA columns
+            # trip pandas' future concat dtype rules
+            out = out.astype({"rmse": "float64", "magnitude": "float64"})
+            for c in ("start_ts", "end_ts", "break_ts"):
+                out[c] = pd.to_datetime(out[c])
+        return out
 
     return segment_group
 
