@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "emb_norms",
     "codec_roundtrip",
     "emb_ann_topk",
+    "emb_neardup_lsh",
     "ccdc_segments_synth",
 ]
 
