@@ -429,17 +429,19 @@ def _q_salted_stats(spark, sf):
 
 
 def _q_minhash_lsh_pairs(spark, sf):
-    """MinHash+LSH banding candidate pairs (rows-only: the band-collision
-    set is implementation-defined; signature correctness is oracle-checked
-    by docs_minhash_sigs and pair semantics by docs_jaccard_pairs)."""
+    """MinHash+LSH banding candidate pairs — HASH-CHECKED: the banding is
+    a pure function of the (already-oracled) signatures, so the DuckDB
+    oracle re-derives signatures, band keys, collisions, and the exact
+    signature-agreement fraction."""
     from yatsm_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf, "documents"), n_hashes=16, bands=4, k=3)
 
 
 def _q_ann_lsh(spark, sf):
-    """Hyperplane-LSH bucketed ANN (rows-only: approximate by design;
-    exact baseline emb_ann_topk is the oracle-checked twin)."""
+    """Hyperplane-LSH bucketed ANN — HASH-CHECKED: approximate vs the
+    exact twin emb_ann_topk, but deterministic, and the oracle reproduces
+    the bucket pipeline from the same seeded hyperplane literals."""
     from yatsm_spark.operators.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf, "embeddings")
@@ -858,6 +860,63 @@ s AS (
 SELECT id_a, id_b, round(c, 6) AS sim FROM s WHERE c >= 0.4
 """
 
+_MINHASH_LSH = f"""
+WITH {_SHINGLES_CTE},
+e AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE len(s) > 0),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM e),
+sig AS (
+  SELECT doc_id, i, min((hv * (2 * i + 1) + 7919 * (i + 1)) % 2147483647) AS sig_val
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) idx
+  GROUP BY doc_id, i),
+bk AS (
+  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         string_agg(sig_val::VARCHAR, ',' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.doc_id < b.doc_id),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN x.sig_val = y.sig_val THEN 1 ELSE 0 END) AS n_eq
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.id_a
+  JOIN sig y ON y.doc_id = c.id_b AND y.i = x.i
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(n_eq / 16.0, 4) AS sig_sim FROM agree
+"""
+
+
+def _emb_ann_lsh_oracle(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+    """DuckDB twin of lsh_bucket_topk: same seeded hyperplane literals,
+    same round-before-sign bucket rule, same (sim desc, n_id) ranking."""
+    from yatsm_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    terms = [
+        "(CASE WHEN round(list_dot_product(e, ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]::DOUBLE[]), 6) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    ]
+    bucket = "(" + " + ".join(terms) + ")"
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bkt AS (SELECT vec_id, e, {bucket} AS bkt FROM v),
+s AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         round(list_dot_product(q.e, n.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))), 6) AS sim
+  FROM bkt q JOIN bkt n ON q.bkt = n.bkt AND q.vec_id != n.vec_id
+  WHERE q.vec_id < 5),
+r AS (
+  SELECT q_id, n_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+  FROM s)
+SELECT q_id, n_id, sim, rank FROM r WHERE rank <= {k}
+"""
+
+
 def _emb_neardup_lsh_oracle(
     dim: int = 64, n_planes: int = 8, n_tables: int = 2, threshold: float = 0.4
 ) -> str:
@@ -1001,11 +1060,10 @@ def oracle_sql() -> dict[str, str]:
         "ccdc_segments_synth": _SEGMENTS_GOLDEN,
         "ccdc_changemap_synth": _CHANGEMAP_GOLDEN,
         "ccdc_classify_synth": _CLASSIFY_GOLDEN,
+        # approximate-but-DETERMINISTIC ops, fully reproduced in SQL:
+        "minhash_lsh_pairs": _MINHASH_LSH,
+        "emb_ann_lsh": _emb_ann_lsh_oracle(),
         # rows-only by design:
-        #   minhash_lsh_pairs — band-collision candidate set (signatures
-        #     themselves oracle-checked by docs_minhash_sigs);
-        #   emb_ann_lsh — approximate by design (exact twin emb_ann_topk
-        #     is oracle-checked);
         #   multimodal_media_synth — stubbed media decode over synthetic
-        #     binary (deterministic; plumbing-real).
+        #     binary (deterministic; plumbing-real; no media libs in env).
     }

@@ -194,17 +194,14 @@ def lsh_bucket_topk(
     """ANN top-k via random-hyperplane LSH: vectors and queries bucketed by
     the sign pattern of n_planes dot products; candidates = same bucket.
 
-    The bucket id is a codegen'd expression (sum of sign bits); the join
-    shuffles on it.  Returns (q_id, n_id, sim, rank) within-bucket top-k —
-    approximate by design."""
+    The bucket id is a codegen'd expression (sum of sign bits, rounded
+    before the sign test so a DuckDB oracle reproduces it from the same
+    literals); the join shuffles on it.  Returns (q_id, n_id, sim, rank)
+    within-bucket top-k — approximate by design."""
     planes = _hyperplanes(dim, n_planes)
 
     def bucket(vec: Column) -> Column:
-        out = F.lit(0)
-        for p, plane in enumerate(planes):
-            arr = F.array(*[F.lit(x) for x in plane])
-            out = out + F.when(_dot(vec, arr) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return out
+        return _bucket_expr(vec, planes)
 
     v = vectors.select(
         F.col(id_col).alias("n_id"),
