@@ -108,6 +108,16 @@ def _q_cascade_30d(spark, sf):
     return _finish_tier(cascade_series(d1, "30d", ("user_id",)))
 
 
+def _q_retention_1h(spark, sf):
+    """Retention enforcement on the finest tier: keep the trailing 7 days
+    (data-anchored at the tier's max bucket).  At scale the same predicate
+    on p_day is a metadata-only partition drop."""
+    from yatsm_spark.operators.rollup import apply_retention
+
+    tier = rollup_series(_t(spark, sf, "events"), "1h", ("user_id",), "ts", "value")
+    return _finish_tier(apply_retention(tier, "7 days"))
+
+
 def _q_gap_fill_1h(spark, sf):
     tier = rollup_series(_t(spark, sf, "events"), "1h", ("user_id",), "ts", "value")
     return gap_fill_series(tier, "1h", ("user_id",)).select(
@@ -521,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
         "cascade_30d": _q_cascade_30d,
+        "retention_1h": _q_retention_1h,
         "gap_fill_1h": _q_gap_fill_1h,
         "locf_1h": _q_locf_1h,
         "sessionize_30m": _q_sessionize,
@@ -578,6 +589,17 @@ SELECT user_id, {_H} AS bucket_ts, count(*) AS cnt,
        round((round(sum(value),4)+0)/count(*),4)+0 AS mean_val,
        round(min(value),4)+0 AS min_val, round(max(value),4)+0 AS max_val
 FROM events GROUP BY 1, 2
+"""
+
+_RETENTION_1H = f"""
+WITH t AS (
+  SELECT user_id, {_H} AS bucket_ts, count(*) AS cnt,
+         round(sum(value),4)+0 AS sum_val,
+         round((round(sum(value),4)+0)/count(*),4)+0 AS mean_val,
+         round(min(value),4)+0 AS min_val, round(max(value),4)+0 AS max_val
+  FROM events GROUP BY 1, 2),
+m AS (SELECT max(bucket_ts) AS mx FROM t)
+SELECT t.* FROM t, m WHERE t.bucket_ts > m.mx - INTERVAL 7 DAY
 """
 
 _CASCADE_1D = f"""
@@ -1024,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h": _ROLLUP_1H,
         "cascade_1d": _CASCADE_1D,
         "cascade_30d": _CASCADE_30D,
+        "retention_1h": _RETENTION_1H,
         "gap_fill_1h": _GAP_FILL_1H,
         "locf_1h": _LOCF_1H,
         "sessionize_30m": _SESSIONIZE,

@@ -36,7 +36,15 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from yatsm_spark.datagen import generate_crawl, write_crawl  # noqa: E402
 from yatsm_spark.functions.ccdc import CCDCParams  # noqa: E402
-from yatsm_spark.operators.rollup import TIERS, cascade, gap_fill, rollup, series_clean  # noqa: E402
+from yatsm_spark.operators.rollup import (  # noqa: E402
+    RETENTION_DEFAULTS,
+    TIERS,
+    apply_retention,
+    cascade,
+    gap_fill,
+    rollup,
+    series_clean,
+)
 from yatsm_spark.plans.blobs import encode_blobs  # noqa: E402
 from yatsm_spark.plans.segmentation import segment_series  # noqa: E402
 from yatsm_spark.session import get_spark  # noqa: E402
@@ -58,7 +66,8 @@ def build_tiers(crawl, tiers: list[str]):
 
 
 def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
-            do_segment: bool, suffix: str = "", bucketed: bool = False) -> dict[str, int]:
+            do_segment: bool, suffix: str = "", bucketed: bool = False,
+            retain: bool = False) -> dict[str, int]:
     # row-count lineage metrics ride the write itself via df.observe()
     # (SURVEY.md §7 step 7) — no post-write re-read jobs
     from pyspark.sql import Observation
@@ -66,6 +75,11 @@ def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
     counts = {}
     tier_dfs = build_tiers(crawl, tiers)
     for t, df in tier_dfs.items():
+        if retain:
+            # retention BEFORE gap-fill: aged-out windows get neither rows
+            # nor gap rows; cascade inputs stay unretained (coarser tiers
+            # aggregate the full history before the finer tier ages out)
+            df = apply_retention(df, RETENTION_DEFAULTS.get(t))
         filled = gap_fill(df, t).withColumn("p_day", F.to_date("bucket_ts"))
         obs = Observation(f"rollup_{t}")
         target = f"{out_dir}/rollup_{t}{suffix}"
@@ -149,6 +163,9 @@ def main() -> None:
     ap.add_argument("--chunked", action="store_true", help="per-bucket checkpointed mode")
     ap.add_argument("--segment", action="store_true")
     ap.add_argument("--no-blobs", action="store_true")
+    ap.add_argument("--retain", action="store_true",
+                    help="enforce RETENTION_DEFAULTS per tier (1h: 7d, 1d: 90d, "
+                         "30d: forever) before the tier writes")
     ap.add_argument("--bucketed", action=argparse.BooleanOptionalAction, default=True,
                     help="url-bucketed kernel input -> shuffle-free segment/blob "
                          "stages (default ON; reused across runs via content "
@@ -180,7 +197,7 @@ def main() -> None:
 
     t_start = time.time()
     if not args.chunked:
-        counts = process(spark, crawl, args.output, tiers, not args.no_blobs, args.segment, bucketed=args.bucketed)
+        counts = process(spark, crawl, args.output, tiers, not args.no_blobs, args.segment, bucketed=args.bucketed, retain=args.retain)
         metrics.emit(run_id=run_id, partition_key="ALL", wall_ms=int((time.time() - t_start) * 1000), **counts)
     else:
         manifest_path = f"{args.output}/_meta/checkpoints"
@@ -194,12 +211,19 @@ def main() -> None:
             chunk = crawl.filter(F.col("p_bucket") == int(pk))
             rows_in = chunk.count()
             counts = process(spark, chunk, args.output, tiers, not args.no_blobs,
-                             args.segment, suffix=f"/b={pk}", bucketed=args.bucketed)
+                             args.segment, suffix=f"/b={pk}", bucketed=args.bucketed,
+                             retain=args.retain)
             wall = int((time.time() - t0) * 1000)
+            chunk_dirs = [f"{args.output}/rollup_{t}/b={pk}" for t in tiers]
+            if not args.no_blobs:
+                chunk_dirs.append(f"{args.output}/segment_blobs/b={pk}")
+            if args.segment:
+                chunk_dirs.append(f"{args.output}/segments/b={pk}")
+            bytes_out = ckpt.dir_bytes(*chunk_dirs)
             ckpt.mark_done(spark, manifest_path, run_id, pk, rows_in,
-                           sum(counts.values()), 0, wall)
+                           sum(counts.values()), bytes_out, wall)
             metrics.emit(run_id=run_id, partition_key=pk, rows_in=rows_in,
-                         wall_ms=wall, **counts)
+                         bytes_out=bytes_out, wall_ms=wall, **counts)
     total = time.time() - t_start
     print(f"run {run_id} finished in {total:.1f}s")
     spark.stop()

@@ -117,3 +117,47 @@ def test_text_byte_identity(spark, tiny_crawl):
     out = series_clean(tiny_crawl).select("url", "warc_ts", F.sha2("text", 256).alias("h"))
     # clean is a subset (dedup/filter) but every surviving hash matches source
     assert out.join(src, ["url", "warc_ts", "h"], "left_anti").count() == 0
+
+
+def test_apply_retention_keeps_trailing_window(spark):
+    from yatsm_spark.operators.rollup import apply_retention
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["u"] * 10,
+            "bucket_ts": pd.date_range("2024-01-01", periods=10, freq="D"),
+            "cnt": range(10),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kept = apply_retention(df, "3 days").collect()
+    # anchor = 2024-01-10; strictly newer than 01-07 -> 01-08/09/10
+    assert sorted(r["bucket_ts"].day for r in kept) == [8, 9, 10]
+    assert apply_retention(df, None).count() == 10
+    # explicit anchor overrides the data anchor (wall-clock-style cutoff)
+    kept2 = apply_retention(df, "12 days", anchor="2024-01-20").collect()
+    assert sorted(r["bucket_ts"].day for r in kept2) == [9, 10]
+
+
+def test_apply_retention_prunes_on_p_day(spark):
+    """With the partition column present, the retention predicate must
+    reach the scan as a p_day filter (partition-prunable at scale)."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.rollup import apply_retention
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["u"] * 6,
+            "bucket_ts": pd.date_range("2024-02-01", periods=6, freq="D"),
+            "cnt": range(6),
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn("p_day", F.to_date("bucket_ts"))
+    out = apply_retention(df, "2 days", anchor="2024-02-06")
+    assert sorted(r["p_day"].day for r in out.collect()) == [5, 6]
+    assert "p_day" in out._jdf.queryExecution().optimizedPlan().toString()

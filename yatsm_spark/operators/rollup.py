@@ -230,3 +230,48 @@ def locf(filled: DataFrame, cols: tuple[str, ...] = ("mean_len",)) -> DataFrame:
     for c in cols:
         out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
     return out
+
+
+# ------------------------------------------------------------- retention
+
+# Default keep-windows per tier (north_rule: "rollup + downsample +
+# RETENTION engine").  Finer tiers age out once the coarser tier covers
+# them; the coarsest tier is kept forever (None).
+RETENTION_DEFAULTS = {"1h": "7 days", "1d": "90 days", "30d": None}
+
+
+def apply_retention(
+    tier_df: DataFrame,
+    keep: str | None,
+    ts_col: str = "bucket_ts",
+    anchor=None,
+) -> DataFrame:
+    """Retention enforcement for one tier: keep only buckets newer than
+    ``anchor - keep`` (e.g. ``'7 days'`` on the 1h tier once the 1d tier
+    covers the history).  ``keep=None`` keeps everything.
+
+    ``anchor`` defaults to the tier's own max bucket (data-anchored, so
+    results are deterministic and test/oracle-reproducible); pass a
+    timestamp literal for wall-clock-anchored production runs.  The anchor
+    subquery is a single-row broadcast join, never a window-over-() (which
+    would serialize the table through one partition).
+
+    Scale note: on the partitioned layout the SAME predicate on ``p_day``
+    prunes whole partitions — retention becomes a metadata-only partition
+    drop (Iceberg `expire`/`delete where p_day < cutoff`), not a rewrite;
+    jobs should therefore retain on the partition column when present.
+    """
+    if keep is None:
+        return tier_df
+    if anchor is None:
+        mx = tier_df.select(F.max(ts_col).alias("_anchor"))
+        out = tier_df.join(F.broadcast(mx))
+    else:
+        out = tier_df.withColumn("_anchor", F.lit(anchor).cast("timestamp"))
+    cond = F.col(ts_col) > F.col("_anchor") - F.expr(f"INTERVAL {keep}")
+    if "p_day" in tier_df.columns:
+        # partition-prunable twin of the bucket predicate (p_day is DATE)
+        cond = cond & (
+            F.col("p_day") >= F.to_date(F.col("_anchor") - F.expr(f"INTERVAL {keep}"))
+        )
+    return out.filter(cond).drop("_anchor")

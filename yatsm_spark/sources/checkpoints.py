@@ -110,6 +110,23 @@ def fingerprint_chunk(df: DataFrame, cols: tuple[str, ...]) -> str:
     return str(row[0]["fp"] if row and row[0]["fp"] is not None else 0)
 
 
+def dir_bytes(*paths: str) -> int:
+    """Bytes actually written under the given output dirs (north_rule
+    'row-count/byte metrics emitted per partition').  Local-fs walk — on a
+    cluster swap for the Hadoop FileSystem getContentSummary call."""
+    import os
+
+    total = 0
+    for p in paths:
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
 class PartitionMetrics:
     """Lineage metrics JSONL writer (driver-side, one line per chunk)."""
 
