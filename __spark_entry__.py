@@ -458,6 +458,16 @@ def _q_ann_lsh(spark, sf):
     return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=6)
 
 
+def _q_ann_ivf(spark, sf):
+    """IVF-flat ANN (inverted-file cells + n_probe search) — HASH-CHECKED:
+    the deterministic coarse quantizer (lowest-id seed vectors) and
+    round-before-compare sims make the full pipeline SQL-reproducible."""
+    from yatsm_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=2)
+
+
 def _q_multimodal_synth(spark, sf):  # noqa: ARG001 — synthetic media per north rule
     """Binary media columns over the synthetic crawl html: magic sniffing
     (real), fake-decoder metadata (stubbed decode, real plumbing)."""
@@ -565,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_stats": _q_salted_stats,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "emb_ann_lsh": _q_ann_lsh,
+        "emb_ann_ivf": _q_ann_ivf,
         "multimodal_media_synth": _q_multimodal_synth,
         "ccdc_segments_synth": _segments_synth,
         "ccdc_changemap_synth": _changemap_synth,
@@ -939,6 +950,39 @@ SELECT q_id, n_id, sim, rank FROM r WHERE rank <= {k}
 """
 
 
+_CS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_EMB_ANN_IVF = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+vs AS (
+  SELECT v.vec_id AS n_id, v.e AS nv, c.cid,
+         {_CS.format(a='v.e', b='c.ce')} AS csim
+  FROM v CROSS JOIN c),
+assign AS (
+  SELECT n_id, nv, cid AS cell FROM (
+    SELECT n_id, nv, cid,
+           row_number() OVER (PARTITION BY n_id ORDER BY csim DESC, cid ASC) AS rn
+    FROM vs) WHERE rn = 1),
+probes AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT n_id AS q_id, nv AS qv, cid AS cell,
+           row_number() OVER (PARTITION BY n_id ORDER BY csim DESC, cid ASC) AS rn
+    FROM vs WHERE n_id < 5) WHERE rn <= 2),
+s AS (
+  SELECT p.q_id, a.n_id, {_CS.format(a='p.qv', b='a.nv')} AS sim
+  FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id != a.n_id),
+r AS (
+  SELECT q_id, n_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+  FROM s)
+SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+
 def _emb_neardup_lsh_oracle(
     dim: int = 64, n_planes: int = 8, n_tables: int = 2, threshold: float = 0.4
 ) -> str:
@@ -1086,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         # approximate-but-DETERMINISTIC ops, fully reproduced in SQL:
         "minhash_lsh_pairs": _MINHASH_LSH,
         "emb_ann_lsh": _emb_ann_lsh_oracle(),
+        "emb_ann_ivf": _EMB_ANN_IVF,
         # rows-only by design:
         #   multimodal_media_synth — stubbed media decode over synthetic
         #     binary (deterministic; plumbing-real; no media libs in env).

@@ -232,3 +232,33 @@ def test_streamed_tier_reconciles_with_batch_backfill(spark, tmp_path):
     assert reconciled.filter(
         (F.col("bucket_ts") == straddle) & (F.col("cnt") == 3)
     ).count() == 2  # both urls: 3 obs/hour merged 1+2 across sources
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """First-seen row per content fingerprint survives; in-horizon
+    duplicates are dropped; distinct texts all pass."""
+    from yatsm_spark.streaming.stream_rollup import stream_exact_dedup
+
+    schema = "url string, warc_ts timestamp, text string"
+    path = str(tmp_path / "dedup_src")
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + timedelta(minutes=1), "alpha body"),
+        ("b", t0 + timedelta(minutes=2), "alpha body"),   # dup of a
+        ("c", t0 + timedelta(minutes=3), "beta body"),
+        ("d", t0 + timedelta(minutes=9), "alpha body"),   # dup, still in horizon
+        ("e", t0 + timedelta(minutes=10), "gamma body"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        stream_exact_dedup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM t_sdedup").collect()
+    assert sorted(r["url"] for r in out) == ["a", "c", "e"]

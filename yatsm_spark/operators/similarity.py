@@ -2,9 +2,11 @@
 
 Training-data-pipeline ANN family (task brief first-class components):
 
-  * :func:`cosine_sim_col`  — codegen'd cosine similarity of two array cols
-  * :func:`brute_topk`      — exact top-k neighbors (baseline)
-  * :func:`lsh_bucket_topk` — random-hyperplane-LSH bucketed top-k (scale path)
+  * :func:`cosine_sim_col`    — codegen'd cosine similarity of two array cols
+  * :func:`brute_topk`        — exact top-k neighbors (baseline)
+  * :func:`lsh_bucket_topk`   — random-hyperplane-LSH bucketed top-k (scale path)
+  * :func:`lsh_neardup_pairs` — bucketed near-dup PAIRS, exact-scored (scale path)
+  * :func:`ivf_topk`          — inverted-file (cell-probed) top-k (scale path #2)
 
 Scale notes (100 TB design):
   * brute_topk is O(Q x N): correct baseline, only viable when the query
@@ -223,6 +225,73 @@ def lsh_bucket_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: vectors are assigned to their nearest coarse-quantizer
+    cell; each query probes its ``n_probe`` nearest cells and exact-scores
+    only those cells' members — the inverted-file counterpart of the
+    hyperplane LSH path (two independent ANN families, as a real pipeline
+    ships).
+
+    The coarse quantizer is the ``n_cells`` lowest-id vectors (a
+    deterministic seed set standing in for k-means centroids — k-means'
+    iteration order is not reproducible across engines, and IVF recall
+    depends only mildly on centroid quality).  Everything downstream is
+    relational: one broadcast of the tiny centroid set, one map-side
+    argmax (struct-max, tie-break lowest cell id) per vector, and a
+    cell-keyed equi-join — the shuffle carries cell populations, never
+    N x Q.  Deterministic end-to-end: sims rounded to 6dp before every
+    comparison, so a DuckDB oracle reproduces cell assignment, probing,
+    and ranking exactly.
+    """
+    cents = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    )
+
+    def cell_scores(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(f"{name}_id"), F.col(vec_col).alias(f"{name}_vec"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("csim", F.round(cosine_sim_col(F.col(f"{name}_vec"), F.col("c_vec")), 6))
+        )
+
+    assign = (
+        cell_scores(vectors, "n")
+        .groupBy("n_id")
+        .agg(F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"), F.col("n_vec"))).alias("_s"))
+        .select("n_id", (-F.col("_s.ncid")).alias("cell"), F.col("_s.n_vec").alias("n_vec"))
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        cell_scores(queries, "q")
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("q_id", F.col("cid").alias("cell"), "q_vec")
+    )
+    scored = (
+        assign.join(probes, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("sim", F.round(cosine_sim_col(F.col("q_vec"), F.col("n_vec")), 6))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "sim", "rank")
     )

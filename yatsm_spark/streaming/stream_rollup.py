@@ -82,6 +82,30 @@ def stream_sessionize(
     )
 
 
+def stream_exact_dedup(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of operators/dedup.py::exact_dedup: keep the
+    first-seen row per content fingerprint (md5) within the watermark
+    horizon — the online front door of the training-data dedup stack.
+
+    ``dropDuplicatesWithinWatermark`` bounds the state store by the
+    watermark (a fingerprint older than the horizon is evicted), so state
+    is O(unique docs per window), never O(corpus).  Exactness across the
+    whole corpus still belongs to the batch pass; this op keeps a live
+    ingest feed duplicate-free between batch passes — same split as the
+    rollup (§2.6 semantics note at the top of this module).
+    """
+    return (
+        stream.withColumn("fp", F.md5(F.col(text_col).cast("binary")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 MONITOR_STATE_SCHEMA = (
     "coef array<double>, rmse double, consec int, n_seen long, "
     "buf_t array<double>, buf_y array<double>"
