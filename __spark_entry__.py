@@ -417,6 +417,37 @@ def _q_codec_roundtrip(spark, sf):
     )
 
 
+def _q_blob_range_read(spark, sf):
+    """TSDB range-read path: encode each user's hourly tier, range-query
+    the blob store with metadata pruning (read_blob_range), and verify the
+    decoded points bit-match the tier restricted to the range.  The oracle
+    predicts (user_id, n_points, all_match=true) for the window, so a
+    pruning bug (missing/extra blobs) or codec drift flips the hash."""
+    from yatsm_spark.plans.blobs import encode_blobs, read_blob_range
+
+    tier = rollup_series(
+        _t(spark, sf, "events"), "1h", ("user_id",), "ts", "value"
+    ).withColumn("url", F.col("user_id").cast("string"))
+    blobs = encode_blobs(tier, "1h", ts_col="bucket_ts", value_col="mean_val")
+    t0, t1 = "2024-01-08 00:00:00", "2024-01-14 23:59:59"
+    pts = read_blob_range(blobs, t0, t1)
+    orig = tier.filter(F.col("bucket_ts").between(F.lit(t0), F.lit(t1))).select(
+        "url", "bucket_ts", F.col("mean_val").alias("orig")
+    )
+    joined = pts.join(orig, ["url", "bucket_ts"], "full")
+    return (
+        joined.groupBy("url")
+        .agg(
+            F.count("*").alias("n_points"),
+            (
+                F.sum(F.when(F.col("value") == F.col("orig"), 1).otherwise(0))
+                == F.count("*")
+            ).alias("all_match"),
+        )
+        .select(F.col("url").cast("bigint").alias("user_id"), "n_points", "all_match")
+    )
+
+
 def _q_salted_stats(spark, sf):
     """Two-stage salted aggregation (skew defeat) — oracle = plain GROUP
     BY, so the check proves salting is result-invariant."""
@@ -572,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_regex": _q_docs_token_regex,
         "docs_winnow_fp": _q_docs_winnow_fp,
         "codec_roundtrip": _q_codec_roundtrip,
+        "blob_range_read": _q_blob_range_read,
         "salted_event_stats": _q_salted_stats,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "emb_ann_lsh": _q_ann_lsh,
@@ -1044,6 +1076,13 @@ FROM (SELECT user_id, {_H} AS bucket_ts FROM events GROUP BY 1, 2)
 GROUP BY user_id
 """
 
+_BLOB_RANGE = f"""
+SELECT user_id, count(*) AS n_points, true AS all_match
+FROM (SELECT user_id, {_H} AS bucket_ts FROM events GROUP BY 1, 2)
+WHERE bucket_ts BETWEEN '2024-01-08 00:00:00' AND '2024-01-14 23:59:59'
+GROUP BY user_id
+"""
+
 _EMB_ANN = """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 v AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
@@ -1121,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_regex": _DOCS_TOKEN_REGEX,
         "docs_winnow_fp": _DOCS_WINNOW,
         "codec_roundtrip": _CODEC_RT,
+        "blob_range_read": _BLOB_RANGE,
         "salted_event_stats": _SALTED,
         # golden-table oracles (committed fixture parquet == expected
         # output; kernels not SQL-expressible but fully deterministic):

@@ -160,3 +160,72 @@ def test_spark_blob_roundtrip(spark):
     # decoded points == original tier points (tier label included), bit-exact
     diff = pts.exceptAll(orig).count() + orig.exceptAll(pts).count()
     assert diff == 0
+
+
+def test_read_blob_range_prunes_before_decode(spark):
+    """Range reads must drop non-overlapping blobs on metadata alone (the
+    filter sits on start_ts/end_ts above the decode) and return exactly
+    the in-range points."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.datagen import generate_crawl
+    from yatsm_spark.operators.rollup import rollup, series_clean
+    from yatsm_spark.plans.blobs import encode_blobs, read_blob_range
+
+    tier = rollup(series_clean(generate_crawl(spark, n_urls=6, span_days=40)), "1d")
+    blobs = encode_blobs(tier, "1d", value_col="mean_len")
+    t0, t1 = "2024-01-10", "2024-01-15"
+    got = read_blob_range(blobs, t0, t1)
+    exp = tier.select(
+        "url", F.lit("1d").alias("tier"), "bucket_ts",
+        F.col("mean_len").cast("double").alias("value"),
+    ).filter(F.col("bucket_ts").between(t0, t1))
+    assert got.exceptAll(exp).count() + exp.exceptAll(got).count() == 0
+    # the metadata prune is in the plan BELOW the decode (on the blob scan)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "end_ts" in plan and "start_ts" in plan
+
+
+def test_compact_blobs_byte_identical_to_full_encode(spark):
+    """Compaction (decode -> merge -> re-encode) must produce blobs
+    byte-identical to encoding the merged series from scratch; new points
+    replace stored points at the same bucket."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.plans.blobs import compact_blobs, decode_blobs, encode_blobs
+
+    base = pd.DataFrame(
+        {
+            "url": ["u"] * 10,
+            "bucket_ts": pd.date_range("2024-03-01", periods=10, freq="D"),
+            "value": [float(i) for i in range(10)],
+        }
+    )
+    blobs = encode_blobs(spark.createDataFrame(base), "1d", value_col="value")
+    new = pd.DataFrame(
+        {
+            "url": ["u"] * 5,
+            "bucket_ts": pd.date_range("2024-03-08", periods=5, freq="D"),
+            "value": [100.0 + i for i in range(5)],
+        }
+    )
+    compacted = compact_blobs(blobs, spark.createDataFrame(new), "1d")
+    # expected: days 1-7 original, days 8-12 replaced/appended
+    exp_pdf = pd.DataFrame(
+        {
+            "url": ["u"] * 12,
+            "bucket_ts": pd.date_range("2024-03-01", periods=12, freq="D"),
+            "value": [float(i) for i in range(7)] + [100.0 + i for i in range(5)],
+        }
+    )
+    exp_blobs = encode_blobs(spark.createDataFrame(exp_pdf), "1d", value_col="value")
+    got = compacted.select("url", "ts_blob", "val_blob", "n_points").first()
+    exp = exp_blobs.select("url", "ts_blob", "val_blob", "n_points").first()
+    assert got["n_points"] == 12
+    assert bytes(got["ts_blob"]) == bytes(exp["ts_blob"])
+    assert bytes(got["val_blob"]) == bytes(exp["val_blob"])
+    # and the decoded series is the merged truth
+    pts = decode_blobs(compacted).orderBy("bucket_ts").collect()
+    assert [r["value"] for r in pts] == exp_pdf["value"].tolist()

@@ -162,3 +162,55 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
     return blobs.select("url", "tier", "ts_blob", "val_blob").mapInPandas(
         decode_batches, schema=POINTS_SCHEMA
     )
+
+
+def read_blob_range(blobs: DataFrame, t0, t1) -> DataFrame:
+    """Range/point query over the blob store: prune blobs on the
+    [start_ts, end_ts] METADATA columns first (plain comparisons -> parquet
+    min/max row-group skipping and partition pruning; the binary payloads
+    of non-overlapping blobs are never read or decoded), then decode only
+    survivors and trim to the range.
+
+    This is the TSDB read path the codec exists for: a 1-hour lookup in a
+    decade of blobs decodes ~one blob per url, not the decade.
+    """
+    lo = F.lit(t0).cast("timestamp")
+    hi = F.lit(t1).cast("timestamp")
+    pruned = blobs.filter((F.col("end_ts") >= lo) & (F.col("start_ts") <= hi))
+    return decode_blobs(pruned).filter(F.col("bucket_ts").between(lo, hi))
+
+
+def compact_blobs(
+    blobs: DataFrame,
+    new_points: DataFrame,
+    tier: str,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Backfill/append compaction: merge new points into an existing
+    single-tier blob set and re-encode — the incremental-maintenance path
+    (decode -> merge -> encode per url; untouched urls can be excluded
+    upstream with a semi-join on the new urls).
+
+    Conflict rule: a new point REPLACES the stored point at the same
+    (url, bucket) — backfill corrections win.  Deterministic: the merge is
+    a struct-max (new-flag, value) per bucket and the encoder is a pure
+    function of the sorted series, so compacted blobs are byte-identical
+    to encoding the merged series from scratch (asserted in tests).
+    """
+    old = decode_blobs(blobs).select(
+        "url", ts_col, F.col("value").alias("_v"), F.lit(0).alias("_p")
+    )
+    new = new_points.select(
+        "url",
+        ts_col,
+        F.col(value_col).cast("double").alias("_v"),
+        F.lit(1).alias("_p"),
+    )
+    merged = (
+        old.unionByName(new)
+        .groupBy("url", ts_col)
+        .agg(F.max(F.struct("_p", "_v")).alias("_s"))
+        .select("url", ts_col, F.col("_s._v").alias("value"))
+    )
+    return encode_blobs(merged, tier, ts_col=ts_col, value_col="value")
