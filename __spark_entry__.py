@@ -138,6 +138,36 @@ def _q_locf_1h(spark, sf):
     )
 
 
+def _q_ohlc_daily(spark, sf):
+    """OHLC candlestick rollup per (user, day): open/close via struct
+    min/max over (ts, value) — deterministic under duplicate timestamps."""
+    from yatsm_spark.operators.series import ohlc_series
+
+    out = ohlc_series(_t(spark, sf, "events"), "1d", ("user_id",), "ts", "value")
+    return out.select(
+        "user_id", "bucket_ts",
+        _r("open").alias("open"), _r("high").alias("high"),
+        _r("low").alias("low"), _r("close").alias("close"), "cnt",
+    )
+
+
+def _q_percentile_daily(spark, sf):
+    """Exact interpolated percentiles per (user, day) — the quantile
+    continuous-aggregate.  Exact `F.percentile` is a sort-based aggregate
+    (right for tier-sized groups); the 100 TB path for corpus-wide
+    quantiles is `approx_percentile` (GK sketch, mergeable map-side), kept
+    out of the oracle because sketches aren't cross-engine-reproducible."""
+    ev = _t(spark, sf, "events")
+    day = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("bigint")
+    ).alias("bucket_ts")
+    return ev.groupBy("user_id", day).agg(
+        _r(F.percentile("value", 0.5)).alias("p50"),
+        _r(F.percentile("value", 0.95)).alias("p95"),
+        F.count("*").alias("cnt"),
+    )
+
+
 def _q_sessionize(spark, sf):
     s = sessionize(_t(spark, sf, "events"), 1800, ("user_id",), "ts")
     return s.groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
@@ -575,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_1h": _q_retention_1h,
         "gap_fill_1h": _q_gap_fill_1h,
         "locf_1h": _q_locf_1h,
+        "percentile_daily": _q_percentile_daily,
+        "ohlc_daily": _q_ohlc_daily,
         "sessionize_30m": _q_sessionize,
         "window_deltas": _q_window_deltas,
         "asof_prev_purchase": _q_asof_prev_purchase,
@@ -702,6 +734,24 @@ SELECT user_id, bucket_ts, gap_filled,
          PARTITION BY user_id ORDER BY bucket_ts
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_mean
 FROM joined
+"""
+
+_OHLC_DAILY = f"""
+SELECT user_id, {_b("ts", 86400)} AS bucket_ts,
+       round((min({{'t': ts, 'v': value}}))['v'], 4) + 0 AS open,
+       round(max(value), 4) + 0 AS high,
+       round(min(value), 4) + 0 AS low,
+       round((max({{'t': ts, 'v': value}}))['v'], 4) + 0 AS close,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+_PERCENTILE_DAILY = f"""
+SELECT user_id, {_b("ts", 86400)} AS bucket_ts,
+       round(quantile_cont(value, 0.5), 4) + 0 AS p50,
+       round(quantile_cont(value, 0.95), 4) + 0 AS p95,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2
 """
 
 _SESSIONIZE = """
@@ -1132,6 +1182,8 @@ def oracle_sql() -> dict[str, str]:
         "retention_1h": _RETENTION_1H,
         "gap_fill_1h": _GAP_FILL_1H,
         "locf_1h": _LOCF_1H,
+        "percentile_daily": _PERCENTILE_DAILY,
+        "ohlc_daily": _OHLC_DAILY,
         "sessionize_30m": _SESSIONIZE,
         "window_deltas": _WINDOW_DELTAS,
         "asof_prev_purchase": _ASOF,

@@ -233,3 +233,45 @@ def top_k_keys(
         .orderBy(F.desc("cnt"), *[F.asc(c) for c in key_cols])
         .limit(k)
     )
+
+
+def ohlc_series(
+    df: DataFrame,
+    tier: str,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "warc_ts",
+    value_col: str = "text_len",
+) -> DataFrame:
+    """OHLC downsample: per (key, bucket) the first (open), max (high),
+    min (low), and last (close) value — the candlestick rollup every TSDB
+    ships beside count/mean tiers.
+
+    open/close are struct-min/max over (ts, value): one hash-shuffle
+    aggregate with map-side combine, fully deterministic under duplicate
+    timestamps (value is the lexicographic tie-break — the same rule a
+    DuckDB oracle reproduces with min/max over a struct literal).  No
+    window sort: a window row_number formulation would shuffle AND sort
+    every row; the struct agg is partial-aggregable.
+    """
+    t = F.col(ts_col)
+    v = F.col(value_col).cast("double")
+    pair = F.struct(t.alias("t"), v.alias("v"))
+    return (
+        df.groupBy(*key_cols, bucket_col(ts_col, tier).alias("bucket_ts"))
+        .agg(
+            F.min(pair).alias("_o"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max(pair).alias("_c"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            *key_cols,
+            "bucket_ts",
+            F.col("_o.v").alias("open"),
+            "high",
+            "low",
+            F.col("_c.v").alias("close"),
+            "cnt",
+        )
+    )
