@@ -188,6 +188,19 @@ def _q_asof_prev_purchase(spark, sf):
     return df.select("event_id", "prev_purchase_ts")
 
 
+def _q_asof_nearest(spark, sf):
+    """Nearest as-of with tolerance: for each event, the closest purchase
+    of the same user within 2h, either direction (tie -> earlier)."""
+    from yatsm_spark.operators.series import asof_nearest_event
+
+    ev = _t(spark, sf, "events")
+    out = asof_nearest_event(
+        ev, F.col("event_type") == "purchase", ("user_id",), "ts",
+        "nearest_purchase_ts", tolerance_sec=7200, tiebreak_cols=("event_id",),
+    )
+    return out.select("event_id", "nearest_purchase_ts")
+
+
 def _q_topk_users(spark, sf):
     return top_k_keys(_t(spark, sf, "events"), 10, ("user_id",))
 
@@ -610,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_30m": _q_sessionize,
         "window_deltas": _q_window_deltas,
         "asof_prev_purchase": _q_asof_prev_purchase,
+        "asof_nearest_purchase": _q_asof_nearest,
         "topk_users": _q_topk_users,
         "event_type_daily": _q_event_type_daily,
         "grouping_rollup": _q_grouping_rollup,
@@ -781,6 +795,33 @@ SELECT event_id,
          PARTITION BY user_id ORDER BY ts
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_purchase_ts
 FROM events
+"""
+
+_ASOF_NEAREST = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN ts END AS mk
+  FROM events),
+w AS (
+  SELECT event_id, ts,
+         last_value(mk IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+         first_value(mk IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+  FROM e),
+n AS (
+  SELECT event_id, ts,
+         CASE WHEN prev IS NULL THEN nxt
+              WHEN nxt IS NULL THEN prev
+              WHEN epoch(ts) - epoch(prev) <= epoch(nxt) - epoch(ts) THEN prev
+              ELSE nxt END AS nearest
+  FROM w)
+SELECT event_id,
+       CASE WHEN abs(epoch(ts) - epoch(nearest)) <= 7200 THEN nearest END
+         AS nearest_purchase_ts
+FROM n
 """
 
 _TOPK = """
@@ -1187,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_30m": _SESSIONIZE,
         "window_deltas": _WINDOW_DELTAS,
         "asof_prev_purchase": _ASOF,
+        "asof_nearest_purchase": _ASOF_NEAREST,
         "topk_users": _TOPK,
         "event_type_daily": _EVENT_TYPE_DAILY,
         "grouping_rollup": _GROUPING_ROLLUP,

@@ -55,3 +55,18 @@ def test_chunked_equals_onepass(crawl):
     for b in range(4):
         chunks.extend(_tier_rows(with_bucket.filter(F.col("p_bucket") == b).drop("p_bucket")))
     assert sorted(chunks) == whole
+
+
+def test_extracted_text_byte_identical_per_url(crawl):
+    """North-rule per-row invariant: text == extract_text(html)
+    byte-for-byte on every row, independent of partitioning."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.functions.textops import extract_text
+
+    for df in (crawl, crawl.repartition(7, "url")):
+        mismatch = df.filter(
+            F.md5(F.encode(extract_text("html"), "UTF-8"))
+            != F.md5(F.encode(F.col("text"), "UTF-8"))
+        ).count()
+        assert mismatch == 0

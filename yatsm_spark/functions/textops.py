@@ -189,3 +189,19 @@ def simhash64(text_col: str = "text", bits: int = 64) -> Column:
         lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("bigint")),
     )
     return F.aggregate(packed, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def extract_text(html_col: str | Column, charset: str = "UTF-8") -> Column:
+    """Extracted text from an ``html binary`` column: JVM-side decode +
+    tag-strip (regexp), zero Python in the path.
+
+    This is the pipeline front door for the input_hint crawl schema
+    (url, warc_ts, html, text, ...): ``text`` must equal
+    ``extract_text(html)`` BYTE-IDENTICALLY per url, independent of
+    partitioning (north-rule per-row invariant; asserted in
+    tests/test_determinism.py).  The regexp strip covers the synthetic
+    crawl's markup; a production extractor (trafilatura-class) slots in
+    behind the same column contract as an Arrow-batched pandas UDF.
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return F.regexp_replace(F.decode(c, charset), "<[^>]*>", "")

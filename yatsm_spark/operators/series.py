@@ -275,3 +275,50 @@ def ohlc_series(
             "cnt",
         )
     )
+
+
+def asof_nearest_event(
+    df: DataFrame,
+    cond: F.Column,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "warc_ts",
+    out_col: str = "nearest_ts",
+    tolerance_sec: int | None = None,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """J3 variant — NEAREST as-of: for every row, the ``cond`` row of the
+    same key closest in time (either direction), excluding the row itself;
+    ties prefer the earlier side (deterministic).  ``tolerance_sec`` nulls
+    out matches farther than the bound (the sensor-fusion join semantics).
+
+    Same scalable shape as :func:`asof_prev_event`: ONE window shuffle per
+    key — a strict-past frame for the previous match and a strict-future
+    frame for the next — instead of a key x key range join.
+    """
+    order = [ts_col, *tiebreak_cols]  # tiebreak pins frames under dup ts
+    wp = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    marked = F.when(cond, F.col(ts_col))
+    prev = F.last(marked, ignorenulls=True).over(wp)
+    nxt = F.first(marked, ignorenulls=True).over(wn)
+    t = F.unix_timestamp(F.col(ts_col))
+    dp = t - F.unix_timestamp(prev)
+    dn = F.unix_timestamp(nxt) - t
+    nearest = (
+        F.when(prev.isNull(), nxt)
+        .when(nxt.isNull(), prev)
+        .when(dp <= dn, prev)  # tie -> earlier side
+        .otherwise(nxt)
+    )
+    if tolerance_sec is not None:
+        dist = F.abs(t - F.unix_timestamp(nearest))
+        nearest = F.when(dist <= tolerance_sec, nearest)
+    return df.withColumn(out_col, nearest)
