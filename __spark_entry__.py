@@ -168,6 +168,31 @@ def _q_percentile_daily(spark, sf):
     )
 
 
+def _q_sliding_24h(spark, sf):
+    """Trailing 24h moving average over the 1h tier (time-range frame:
+    gaps shrink the window population rather than stretching its span)."""
+    from yatsm_spark.operators.series import sliding_mean
+
+    tier = rollup_series(_t(spark, sf, "events"), "1h", ("user_id",), "ts", "value")
+    # window aggregation association order differs across engines (DuckDB
+    # uses a segment tree), so floats can flip the 4th decimal.  Scale the
+    # (already 4dp-rounded) means to exact integers first: integer sums
+    # are order-exact in doubles below 2^53, so both engines agree bitwise.
+    tier = tier.withColumn("mean_val", _r(_r("sum_val") / F.col("cnt")))
+    tier = tier.withColumn("iv", F.round(F.col("mean_val") * 10000).cast("long"))
+    out = sliding_mean(
+        tier, 86400, ("user_id",), "bucket_ts", "iv", "avg_iv", exact=True
+    )
+    # integer round-half-up of sum/cnt: (2*sum + cnt) div (2*cnt) — exact
+    # integer arithmetic both engines, immune to float-rounding half cases
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        F.expr("(2 * sum_iv + n_win) div (2 * n_win)").alias("avg24h_x1e4"),
+        F.col("n_win"),
+    )
+
+
 def _q_sessionize(spark, sf):
     s = sessionize(_t(spark, sf, "events"), 1800, ("user_id",), "ts")
     return s.groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
@@ -400,6 +425,27 @@ def _q_emb_neardup_lsh(spark, sf):
     )
 
 
+def _q_url_canonicalize(spark, sf):
+    """URL canonicalization over synthesized raw variants (built from
+    customer keys so the oracle constructs the identical inputs): case,
+    default ports, param order, tracking params, and fragments all
+    normalize away."""
+    from yatsm_spark.functions.textops import canonicalize_url
+
+    c = _t(spark, sf, "customer")
+    raw = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.concat(F.lit("HTTPS://Shop.Example.COM:443/c/"), F.col("c_custkey"),
+                 F.lit("?utm_src=news&b=2&a=1#frag")),
+    ).otherwise(
+        F.concat(F.lit("http://shop.example.com:80/c/"), F.col("c_custkey"),
+                 F.lit("?a=1&b=2")),
+    )
+    return c.select(
+        "c_custkey", canonicalize_url(raw).alias("canon_url")
+    )
+
+
 def _q_docs_token_regex(spark, sf):
     # BPE-ish token families counted with regexp (JVM regexp_count):
     # alpha runs, digit runs, non-alnum marks — plus whitespace tokens
@@ -620,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_1h": _q_locf_1h,
         "percentile_daily": _q_percentile_daily,
         "ohlc_daily": _q_ohlc_daily,
+        "sliding_mean_24h": _q_sliding_24h,
         "sessionize_30m": _q_sessionize,
         "window_deltas": _q_window_deltas,
         "asof_prev_purchase": _q_asof_prev_purchase,
@@ -647,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_neardup": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "docs_token_regex": _q_docs_token_regex,
+        "url_canonicalize": _q_url_canonicalize,
         "docs_winnow_fp": _q_docs_winnow_fp,
         "codec_roundtrip": _q_codec_roundtrip,
         "blob_range_read": _q_blob_range_read,
@@ -766,6 +814,24 @@ SELECT user_id, {_b("ts", 86400)} AS bucket_ts,
        round(quantile_cont(value, 0.95), 4) + 0 AS p95,
        count(*) AS cnt
 FROM events GROUP BY 1, 2
+"""
+
+_SLIDING_24H = f"""
+WITH t AS (
+  SELECT user_id, {_H} AS bucket_ts,
+         CAST(round((round((round(sum(value),4)+0)/count(*),4)+0) * 10000) AS BIGINT) AS iv
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT user_id, bucket_ts,
+         sum(iv) OVER (PARTITION BY user_id ORDER BY epoch(bucket_ts)
+           RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS sum_iv,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch(bucket_ts)
+           RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS n_win
+  FROM t)
+SELECT user_id, bucket_ts,
+       CAST((2 * sum_iv + n_win) // (2 * n_win) AS BIGINT) AS avg24h_x1e4,
+       n_win
+FROM w
 """
 
 _SESSIONIZE = """
@@ -1142,6 +1208,35 @@ SELECT id_a, id_b, round(c, 6) AS sim FROM s WHERE c >= {threshold}
 """
 
 
+_URL_CANON = """
+WITH raw AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0
+              THEN 'HTTPS://Shop.Example.COM:443/c/' || c_custkey || '?utm_src=news&b=2&a=1#frag'
+              ELSE 'http://shop.example.com:80/c/' || c_custkey || '?a=1&b=2' END AS u
+  FROM customer),
+parts AS (
+  SELECT c_custkey, u,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+         regexp_extract(u, '\?([^#]*)', 1) AS query
+  FROM raw),
+norm AS (
+  SELECT c_custkey, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+             p -> p != '' AND NOT starts_with(p, 'utm_'))), '&') AS qs
+  FROM parts)
+SELECT c_custkey,
+       scheme || '://' || host || path ||
+       CASE WHEN qs != '' THEN '?' || qs ELSE '' END AS canon_url
+FROM norm
+"""
+
 _DOCS_TOKEN_REGEX = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
@@ -1225,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         "locf_1h": _LOCF_1H,
         "percentile_daily": _PERCENTILE_DAILY,
         "ohlc_daily": _OHLC_DAILY,
+        "sliding_mean_24h": _SLIDING_24H,
         "sessionize_30m": _SESSIONIZE,
         "window_deltas": _WINDOW_DELTAS,
         "asof_prev_purchase": _ASOF,
@@ -1252,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_neardup": _EMB_NEARDUP,
         "emb_neardup_lsh": _emb_neardup_lsh_oracle(n_planes=4, n_tables=4),
         "docs_token_regex": _DOCS_TOKEN_REGEX,
+        "url_canonicalize": _URL_CANON,
         "docs_winnow_fp": _DOCS_WINNOW,
         "codec_roundtrip": _CODEC_RT,
         "blob_range_read": _BLOB_RANGE,

@@ -148,3 +148,23 @@ def test_ivf_topk_finds_same_cell_neighbor(vectors):
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final
     assert final.count("BroadcastNestedLoopJoin") <= 2  # the two K-row centroid crossJoins
+
+
+def test_canonicalize_url_collapses_variants(spark):
+    """Raw variants of one page must canonicalize identically so the
+    exact-dedup fingerprint collapses them; distinct pages stay distinct."""
+    from yatsm_spark.functions.textops import canonicalize_url
+
+    rows = [
+        (0, "HTTP://X.Example.COM:80/a?b=2&a=1#top"),
+        (1, "http://x.example.com/a?a=1&b=2"),
+        (2, "https://x.example.com/a?a=1&b=2"),       # different scheme
+        (3, "http://x.example.com/a?a=1&b=2&utm_c=z"),  # tracking param
+        (4, "http://x.example.com/"),
+        (5, "http://x.example.com"),                   # empty path -> '/'
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: r["c"] for r in df.select("id", canonicalize_url("url").alias("c")).collect()}
+    assert got[0] == got[1] == got[3] == "http://x.example.com/a?a=1&b=2"
+    assert got[2] == "https://x.example.com/a?a=1&b=2"
+    assert got[4] == got[5] == "http://x.example.com/"

@@ -205,3 +205,39 @@ def extract_text(html_col: str | Column, charset: str = "UTF-8") -> Column:
     """
     c = F.col(html_col) if isinstance(html_col, str) else html_col
     return F.regexp_replace(F.decode(c, charset), "<[^>]*>", "")
+
+
+def canonicalize_url(url_col: str | Column) -> Column:
+    """Canonical URL form for crawl dedup/grouping — pure JVM expressions:
+    lowercase scheme+host, strip default ports (:80 http / :443 https),
+    empty path -> '/', query params sorted with tracking params (utm_*)
+    dropped, fragment removed.
+
+    Two raw variants of one page ('HTTP://X.com:80/a?b=2&a=1#top' vs
+    'http://x.com/a?a=1&b=2') canonicalize identically, so the exact-dedup
+    fingerprint shuffle key collapses them.  Cross-engine reproducible
+    (DuckDB twin in __spark_entry__._URL_CANON).
+    """
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

@@ -322,3 +322,40 @@ def asof_nearest_event(
         dist = F.abs(t - F.unix_timestamp(nearest))
         nearest = F.when(dist <= tolerance_sec, nearest)
     return df.withColumn(out_col, nearest)
+
+
+def sliding_mean(
+    tier_df: DataFrame,
+    window_sec: int,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "bucket_ts",
+    value_col: str = "mean_val",
+    out_col: str = "sliding_mean",
+    exact: bool = False,
+) -> DataFrame:
+    """Trailing time-RANGE moving aggregate over a tier: for each bucket,
+    the mean of ``value_col`` across all buckets within the past
+    ``window_sec`` seconds (inclusive) of the same key — the 24h-moving-
+    average family.
+
+    rangeBetween on epoch seconds (not rowsBetween): gaps in the tier must
+    shrink the window's population, not silently widen its time span.  One
+    window shuffle per key; Spark evaluates the range frame with a sliding
+    two-pointer over the sorted partition (O(n) amortized per key).
+
+    ``exact=True`` emits the window's (sum_<value_col>, n_win) pair
+    instead of the float mean — with integer-scaled inputs both are
+    order-exact, which is what cross-engine hash checks and exact
+    downstream re-derivation need (float window means differ in the last
+    ulp across engines: aggregation association order is engine-specific).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-(window_sec - 1), 0)
+    )
+    if exact:
+        return tier_df.withColumn(
+            f"sum_{value_col}", F.sum(value_col).over(w)
+        ).withColumn("n_win", F.count(value_col).over(w))
+    return tier_df.withColumn(out_col, F.avg(value_col).over(w))
