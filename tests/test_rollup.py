@@ -161,3 +161,29 @@ def test_apply_retention_prunes_on_p_day(spark):
     out = apply_retention(df, "2 days", anchor="2024-02-06")
     assert sorted(r["p_day"].day for r in out.collect()) == [5, 6]
     assert "p_day" in out._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_merge_tiers_equals_full_rollup(spark):
+    """Incremental maintenance is EXACT: rollup(part1) merged with
+    rollup(part2) equals rollup(all rows) — including a bucket straddling
+    the split and the merged lang_dist maps."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.datagen import generate_crawl
+    from yatsm_spark.operators.rollup import merge_tiers, rollup, series_clean
+
+    crawl = series_clean(generate_crawl(spark, n_urls=8, span_days=20), keep_text=False)
+    cut = "2024-01-10 12:30:00"  # mid-bucket: the 12:00 bucket straddles
+    t_old = rollup(crawl.filter(F.col("warc_ts") < cut), "1h")
+    t_new = rollup(crawl.filter(F.col("warc_ts") >= cut), "1h")
+    merged = merge_tiers(t_old, t_new)
+    full = rollup(crawl, "1h")
+
+    def cmp(df):  # maps can't go through set ops: compare sorted entries
+        return df.select(
+            "url", "bucket_ts", "cnt", "sum_len", "min_len", "max_len",
+            "sum_ts", F.array_sort(F.map_entries("lang_dist")).alias("ld"),
+        )
+
+    a, b = cmp(merged), cmp(full)
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0

@@ -275,3 +275,56 @@ def apply_retention(
             F.col("p_day") >= F.to_date(F.col("_anchor") - F.expr(f"INTERVAL {keep}"))
         )
     return out.filter(cond).drop("_anchor")
+
+
+def merge_tiers(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: fold a delta tier
+    (rollup of NEW crawl rows only) into a stored tier — no raw-history
+    re-read.  Exact because every tier stat is algebraic: cnt/sum_len/
+    sum_ts add, min/max combine, mean re-derives, and lang_dist maps merge
+    entry-wise (rebuilt from sorted entries, preserving the deterministic
+    map layout the oracles hash).
+
+    Gap rows are excluded from both sides (re-materialize with gap_fill
+    after merging — a bucket that WAS a gap may now have data).  One
+    shuffle on (url, bucket_ts); at scale the stored side arrives
+    partition-pruned to the delta's touched p_days.
+    """
+    cols = ["url", "bucket_ts", "cnt", "sum_len", "min_len", "max_len",
+            "sum_ts", "lang_dist"]
+
+    def _bare(df: DataFrame) -> DataFrame:
+        if "gap_filled" in df.columns:
+            df = df.filter(~F.col("gap_filled"))
+        return df.select(*cols)
+
+    both = _bare(stored).unionByName(_bare(delta))
+    merged_map = F.map_from_entries(
+        F.array_sort(
+            F.map_entries(
+                F.aggregate(
+                    F.collect_list("lang_dist"),
+                    F.create_map().cast("map<string,bigint>"),
+                    lambda acc, m: F.map_zip_with(
+                        acc, m,
+                        lambda _k, v1, v2: F.coalesce(v1, F.lit(0).cast("bigint"))
+                        + F.coalesce(v2, F.lit(0).cast("bigint")),
+                    ),
+                )
+            )
+        )
+    )
+    return (
+        both.groupBy("url", "bucket_ts")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_len").alias("sum_len"),
+            F.min("min_len").alias("min_len"),
+            F.max("max_len").alias("max_len"),
+            F.sum("sum_ts").alias("sum_ts"),
+            merged_map.alias("lang_dist"),
+        )
+        .withColumn("mean_len", F.col("sum_len") / F.col("cnt"))
+        .withColumn("gap_filled", F.lit(False))
+        .select(*CORE_COLS, "lang_dist", "gap_filled")
+    )
