@@ -42,6 +42,7 @@ from yatsm_spark.operators.rollup import (  # noqa: E402
     apply_retention,
     cascade,
     gap_fill,
+    merge_tiers,
     rollup,
     series_clean,
 )
@@ -153,6 +154,48 @@ def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
     return counts
 
 
+def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str]) -> dict[str, int]:
+    """Fold a DELTA crawl into the stored tiers under ``out_dir`` without
+    re-reading raw history (operators/rollup.py::merge_tiers): delta rows
+    -> delta tiers -> algebraic merge with each stored tier -> gap-refill
+    -> atomic swap (write beside, rename over).  First run (no stored
+    tier) degrades to a plain build.  Exactness: incremental(part1)+
+    incremental(part2) == one-shot(all rows), tested in
+    tests/test_incremental.py.
+    """
+    import shutil
+
+    from pyspark.sql import Observation
+
+    counts: dict[str, int] = {}
+    delta_tiers = build_tiers(delta_crawl, tiers)
+    for t, delta in delta_tiers.items():
+        stored_path = f"{out_dir}/rollup_{t}"
+        if os.path.exists(stored_path):
+            stored = spark.read.parquet(stored_path)
+            merged = merge_tiers(stored, delta)
+        else:
+            merged = delta
+        filled = gap_fill(merged, t).withColumn("p_day", F.to_date("bucket_ts"))
+        obs = Observation(f"incr_rollup_{t}")
+        tmp = f"{out_dir}/.tmp_rollup_{t}"
+        write_table(
+            filled.observe(obs, F.count(F.lit(1)).alias("rows")),
+            tmp,
+            partition_cols=("p_day",),
+        )
+        counts[f"rollup_{t}"] = int(obs.get["rows"])
+        # swap AFTER the write fully materialized (the read plan above has
+        # executed by now; a crash between rm and rename is recoverable by
+        # re-running the same delta — merge is idempotent per bucket only
+        # if the delta is replayed against the OLD stored tier, so keep
+        # .tmp until the rename succeeds)
+        if os.path.exists(stored_path):
+            shutil.rmtree(stored_path)
+        os.rename(tmp, stored_path)
+    return counts
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="crawl parquet path")
@@ -163,6 +206,10 @@ def main() -> None:
     ap.add_argument("--chunked", action="store_true", help="per-bucket checkpointed mode")
     ap.add_argument("--segment", action="store_true")
     ap.add_argument("--no-blobs", action="store_true")
+    ap.add_argument("--incremental", action="store_true",
+                    help="treat --input as a DELTA crawl and fold it into the "
+                         "stored tiers under --output (merge_tiers; no raw "
+                         "history re-read); implies tier-only processing")
     ap.add_argument("--retain", action="store_true",
                     help="enforce RETENTION_DEFAULTS per tier (1h: 7d, 1d: 90d, "
                          "30d: forever) before the tier writes")
@@ -196,7 +243,11 @@ def main() -> None:
         crawl = spark.read.parquet(args.input)
 
     t_start = time.time()
-    if not args.chunked:
+    if args.incremental:
+        counts = process_incremental(spark, crawl, args.output, tiers)
+        metrics.emit(run_id=run_id, partition_key="DELTA",
+                     wall_ms=int((time.time() - t_start) * 1000), **counts)
+    elif not args.chunked:
         counts = process(spark, crawl, args.output, tiers, not args.no_blobs, args.segment, bucketed=args.bucketed, retain=args.retain)
         metrics.emit(run_id=run_id, partition_key="ALL", wall_ms=int((time.time() - t_start) * 1000), **counts)
     else:
