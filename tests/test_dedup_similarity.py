@@ -168,3 +168,14 @@ def test_canonicalize_url_collapses_variants(spark):
     assert got[0] == got[1] == got[3] == "http://x.example.com/a?a=1&b=2"
     assert got[2] == "https://x.example.com/a?a=1&b=2"
     assert got[4] == got[5] == "http://x.example.com/"
+
+
+def test_lsh_neardup_rejoin_strategy_identical(vectors):
+    """carry_vectors=False (id-dedup then vector re-join — the wide-
+    embedding strategy) must produce identical pairs and sims."""
+    from yatsm_spark.operators.similarity import lsh_neardup_pairs
+
+    kw = dict(dim=3, threshold=0.5, n_planes=4, n_tables=2)
+    a = sorted(map(tuple, lsh_neardup_pairs(vectors, **kw).collect()))
+    b = sorted(map(tuple, lsh_neardup_pairs(vectors, carry_vectors=False, **kw).collect()))
+    assert a == b and len(a) > 0

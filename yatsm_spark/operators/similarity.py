@@ -132,10 +132,19 @@ def lsh_neardup_pairs(
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_vectors: bool = True,
 ) -> DataFrame:
     """Cosine near-duplicate PAIRS at scale: hyperplane-LSH bucketed
     candidates, exact-scored — the 100 TB replacement for the O(N^2)
     all-pairs :func:`cosine_neardup_pairs` (kept as the small-N verifier).
+
+    ``carry_vectors`` picks the shuffle-payload strategy: True ships the
+    vectors through the bucket join + pair-dedup (one join, heavier rows —
+    right for narrow embeddings like this repo's dim-64 test table); False
+    dedups candidate (id_a, id_b) pairs first and re-joins the vectors
+    after (two extra equi-joins, ~16 B/row dedup shuffle — right for
+    production-width embeddings, dim >= ~256, where a float vector is
+    1-3 KB of network per candidate).  Identical output (tested).
 
     Plan shape: each vector lands in ``n_tables`` buckets (one per
     hyperplane table, seeds 42+t); the self-join key is (table, bucket), so
@@ -147,9 +156,11 @@ def lsh_neardup_pairs(
     reproduces the full pipeline from the same literals.
     """
     tables = [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+    cols = [F.col(id_col).alias("id")] + (
+        [F.col(vec_col).alias("v")] if carry_vectors else []
+    )
     bucketed = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+        *cols,
         F.explode(
             F.array(
                 *[
@@ -160,23 +171,33 @@ def lsh_neardup_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    ).withColumn("tbl", F.col("tb.tbl")).withColumn("bkt", F.col("tb.bkt")).drop("tb")
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    join_cond = (
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.id") < F.col("b.id"))
     )
+    if carry_vectors:
+        cand = (
+            a.join(b, join_cond)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        pairs = (
+            a.join(b, join_cond)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = pairs.join(va, "id_a").join(vb, "id_b")
     return (
         cand.withColumn("sim", cosine_sim_col(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
