@@ -229,3 +229,43 @@ def test_compact_blobs_byte_identical_to_full_encode(spark):
     # and the decoded series is the merged truth
     pts = decode_blobs(compacted).orderBy("bucket_ts").collect()
     assert [r["value"] for r in pts] == exp_pdf["value"].tolist()
+
+
+def test_tier_blobs_lossless_archive_cascades_exactly(spark):
+    """The multi-stat blob archive is LOSSLESS: decoding reconstructs every
+    re-aggregable stat bit-exactly, and a 1d cascade computed FROM THE
+    ARCHIVE equals the cascade from the live tier — the blob store can
+    replace the tier parquet."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.datagen import generate_crawl
+    from yatsm_spark.operators.rollup import cascade, rollup, series_clean
+    from yatsm_spark.plans.blobs import decode_tier_blobs, encode_tier_blobs
+
+    stats = ("cnt", "sum_len", "min_len", "max_len")
+    tier = rollup(series_clean(generate_crawl(spark, n_urls=10, span_days=25)), "1h")
+    blobs = encode_tier_blobs(tier, "1h", stats)
+    decoded = decode_tier_blobs(blobs, stats)
+
+    # 1) bit-exact stat roundtrip
+    orig = tier.select(
+        "url", "bucket_ts", *[F.col(c).cast("double").alias(c) for c in stats]
+    )
+    got = decoded.select("url", "bucket_ts", *stats)
+    assert got.exceptAll(orig).count() + orig.exceptAll(got).count() == 0
+
+    # 2) cascade-from-archive == cascade-from-live-tier
+    from_archive = (
+        decoded.select(
+            "url", "bucket_ts",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_len").cast("long").alias("sum_len"),
+            F.col("min_len").cast("long").alias("min_len"),
+            F.col("max_len").cast("long").alias("max_len"),
+        )
+        .groupBy("url", F.date_trunc("day", "bucket_ts").alias("bucket_ts"))
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_len").alias("sum_len"),
+             F.min("min_len").alias("min_len"), F.max("max_len").alias("max_len"))
+    )
+    live = cascade(tier, "1d").select("url", "bucket_ts", "cnt", "sum_len", "min_len", "max_len")
+    assert from_archive.exceptAll(live).count() + live.exceptAll(from_archive).count() == 0

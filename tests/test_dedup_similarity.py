@@ -168,6 +168,14 @@ def test_canonicalize_url_collapses_variants(spark):
     assert got[0] == got[1] == got[3] == "http://x.example.com/a?a=1&b=2"
     assert got[2] == "https://x.example.com/a?a=1&b=2"
     assert got[4] == got[5] == "http://x.example.com/"
+    # idempotency: canonical output is a fixed point
+    twice = {
+        r["id"]: r["c2"]
+        for r in df.select(
+            "id", canonicalize_url(canonicalize_url("url")).alias("c2")
+        ).collect()
+    }
+    assert twice == got
 
 
 def test_lsh_neardup_rejoin_strategy_identical(vectors):

@@ -214,3 +214,132 @@ def compact_blobs(
         .select("url", ts_col, F.col("_s._v").alias("value"))
     )
     return encode_blobs(merged, tier, ts_col=ts_col, value_col="value")
+
+
+TIER_BLOBS_SCHEMA = (
+    "url string, tier string, start_ts timestamp, end_ts timestamp, "
+    "n_points int, ts_blob binary, stat_blobs map<string,binary>, codec_ver int"
+)
+
+
+def encode_tier_blobs(
+    tier_df: DataFrame,
+    tier: str,
+    stat_cols: tuple[str, ...] = ("cnt", "sum_len", "min_len", "max_len"),
+    ts_col: str = "bucket_ts",
+    presorted: bool = False,
+) -> DataFrame:
+    """LOSSLESS tier archive: one timestamp stream + one Gorilla stream PER
+    STAT per (url, tier) — unlike :func:`encode_blobs` (single value
+    column), decoding reconstructs every re-aggregable tier stat, so
+    coarser tiers can cascade exactly from the blob store alone (cnt+sum
+    algebra) and the raw tier parquet can age out.
+
+    Same shuffle-free-capable physical plan as encode_blobs (url
+    repartition+sort, or presorted scan; numpy boundary slicing per batch).
+    Ints ride the float codec via exact int64->float64 widening (lossless
+    to 2^53 — tier counts/sums are far below).
+    """
+
+    def encode_arrays(urls, ts_us, stats):
+        bounds = np.flatnonzero(urls[1:] != urls[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [urls.size]))
+        rows = []
+        for s, e in zip(starts, ends):
+            t_g = ts_us[s:e]
+            order = np.argsort(t_g, kind="stable")
+            t_g = t_g[order]
+            from yatsm_spark.functions.codec import encode_dod, encode_gorilla
+
+            blobs = {
+                c: encode_gorilla(stats[c][s:e][order].astype(np.float64))
+                for c in stat_cols
+            }
+            rows.append(
+                (
+                    urls[s],
+                    tier,
+                    pd.Timestamp(t_g[0] * 1000),
+                    pd.Timestamp(t_g[-1] * 1000),
+                    e - s,
+                    encode_dod(t_g),
+                    blobs,
+                    CODEC_VERSION,
+                )
+            )
+        return rows
+
+    cols = ["url", "tier", "start_ts", "end_ts", "n_points", "ts_blob",
+            "stat_blobs", "codec_ver"]
+
+    def encode_partition(batches):
+        pend = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            urls = pdf["url"].to_numpy()
+            ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000
+            stats = {c: pdf[c].to_numpy(dtype="float64") for c in stat_cols}
+            if pend is not None:
+                urls = np.concatenate((pend[0], urls))
+                ts_us = np.concatenate((pend[1], ts_us))
+                stats = {c: np.concatenate((pend[2][c], stats[c])) for c in stat_cols}
+            cut = int(np.flatnonzero(urls == urls[-1])[0])
+            pend = (urls[cut:], ts_us[cut:], {c: stats[c][cut:] for c in stat_cols})
+            if cut:
+                rows = encode_arrays(
+                    urls[:cut], ts_us[:cut], {c: stats[c][:cut] for c in stat_cols}
+                )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+        if pend is not None and pend[0].size:
+            yield pd.DataFrame(encode_arrays(*pend), columns=cols)
+
+    src = tier_df
+    if "gap_filled" in tier_df.columns:
+        src = src.filter(~F.col("gap_filled"))
+    proj = src.select(
+        "url", ts_col, *[F.col(c).cast("double").alias(c) for c in stat_cols]
+    )
+    if presorted:
+        return proj.mapInPandas(encode_partition, schema=TIER_BLOBS_SCHEMA)
+    return (
+        proj.repartition("url")
+        .sortWithinPartitions("url", ts_col)
+        .mapInPandas(encode_partition, schema=TIER_BLOBS_SCHEMA)
+    )
+
+
+def decode_tier_blobs(blobs: DataFrame, stat_cols: tuple[str, ...]) -> DataFrame:
+    """Inverse of :func:`encode_tier_blobs`: one row per bucket with every
+    archived stat — cnt/sum columns come back as exact integers, ready for
+    cascade()'s re-aggregation algebra."""
+    schema = "url string, tier string, bucket_ts timestamp, " + ", ".join(
+        f"{c} double" for c in stat_cols
+    )
+
+    def decode_batches(batches):
+        from yatsm_spark.functions.codec import decode_dod, decode_gorilla
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            frames = []
+            for url, tier, tsb, sb in zip(
+                pdf["url"], pdf["tier"], pdf["ts_blob"], pdf["stat_blobs"]
+            ):
+                ts_us = decode_dod(bytes(tsb))
+                d = {
+                    "url": np.repeat(url, ts_us.size),
+                    "tier": np.repeat(tier, ts_us.size),
+                    "bucket_ts": pd.to_datetime(ts_us, unit="us"),
+                }
+                for c in stat_cols:
+                    d[c] = decode_gorilla(bytes(sb[c]))
+                frames.append(pd.DataFrame(d))
+            yield pd.concat(frames, ignore_index=True)
+
+    return blobs.select("url", "tier", "ts_blob", "stat_blobs").mapInPandas(
+        decode_batches, schema=schema
+    )
