@@ -118,6 +118,30 @@ def _q_retention_1h(spark, sf):
     return _finish_tier(apply_retention(tier, "7 days"))
 
 
+def _q_incr_merge_1h(spark, sf):
+    """Incremental-maintenance algebra, oracle-gated: two partial rollups
+    split MID-BUCKET are merged (cnt/sum add, min/max combine, mean
+    re-derives) — the oracle is the plain full rollup, so the hash check
+    proves merge(rollup(old), rollup(delta)) == rollup(all)."""
+    ev = _t(spark, sf, "events")
+    cut = F.lit("2024-01-15 09:30:00").cast("timestamp")
+    t_old = rollup_series(ev.filter(F.col("ts") < cut), "1h", ("user_id",), "ts", "value")
+    t_new = rollup_series(ev.filter(F.col("ts") >= cut), "1h", ("user_id",), "ts", "value")
+    merged = (
+        t_old.unionByName(t_new)
+        .groupBy("user_id", "bucket_ts")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+        .withColumn("mean_val", F.col("sum_val") / F.col("cnt"))
+        .select("user_id", "bucket_ts", "cnt", "sum_val", "mean_val", "min_val", "max_val")
+    )
+    return _finish_tier(merged)
+
+
 def _q_gap_fill_1h(spark, sf):
     tier = rollup_series(_t(spark, sf, "events"), "1h", ("user_id",), "ts", "value")
     return gap_fill_series(tier, "1h", ("user_id",)).select(
@@ -662,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_1d": _q_cascade_1d,
         "cascade_30d": _q_cascade_30d,
         "retention_1h": _q_retention_1h,
+        "incr_merge_1h": _q_incr_merge_1h,
         "gap_fill_1h": _q_gap_fill_1h,
         "locf_1h": _q_locf_1h,
         "percentile_daily": _q_percentile_daily,
@@ -1316,6 +1341,9 @@ def oracle_sql() -> dict[str, str]:
         "cascade_1d": _CASCADE_1D,
         "cascade_30d": _CASCADE_30D,
         "retention_1h": _RETENTION_1H,
+        # the merged-partial-rollups query must equal the FULL rollup —
+        # the strongest possible oracle for the incremental algebra:
+        "incr_merge_1h": _ROLLUP_1H,
         "gap_fill_1h": _GAP_FILL_1H,
         "locf_1h": _LOCF_1H,
         "percentile_daily": _PERCENTILE_DAILY,
