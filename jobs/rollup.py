@@ -75,6 +75,13 @@ def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
 
     counts = {}
     tier_dfs = build_tiers(crawl, tiers)
+    # persist every tier: each is read 2-4x below (its own write + the next
+    # cascade; plus the retention max-anchor subquery and the kernel-input
+    # fingerprint) — without persist each consumer re-runs the whole
+    # clean->rollup->cascade chain from the scan (ReuseExchange does not
+    # cover the agg+join shapes; see BENCH/BASELINE.md pitfall 4)
+    for t in tier_dfs:
+        tier_dfs[t] = tier_dfs[t].persist()
     for t, df in tier_dfs.items():
         if retain:
             # retention BEFORE gap-fill: aged-out windows get neither rows
@@ -151,17 +158,31 @@ def process(spark, crawl, out_dir: str, tiers: list[str], do_blobs: bool,
             "overwrite"
         ).parquet(target)
         counts["segments"] = int(obs.get["rows"])
+    for df in tier_dfs.values():
+        df.unpersist()
     return counts
 
 
-def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str]) -> dict[str, int]:
+def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str],
+                        retain: bool = False) -> dict[str, int]:
     """Fold a DELTA crawl into the stored tiers under ``out_dir`` without
     re-reading raw history (operators/rollup.py::merge_tiers): delta rows
-    -> delta tiers -> algebraic merge with each stored tier -> gap-refill
-    -> atomic swap (write beside, rename over).  First run (no stored
-    tier) degrades to a plain build.  Exactness: incremental(part1)+
-    incremental(part2) == one-shot(all rows), tested in
-    tests/test_incremental.py.
+    -> delta tiers -> algebraic merge with each stored tier [-> retention]
+    -> gap-refill -> TWO-PHASE swap.  First run (no stored tier) degrades
+    to a plain build.  Exactness: incremental(part1)+incremental(part2) ==
+    one-shot(all rows), tested in tests/test_incremental.py.
+
+    Crash-safety: every merged tier is fully written to ``.tmp_rollup_*``
+    BEFORE any live tier moves (phase 1), so a mid-write crash leaves all
+    live tiers untouched and the delta simply re-runs.  Phase 2 swaps each
+    tier via backup-rename (live -> .bak, tmp -> live, drop .bak): a crash
+    inside phase 2 leaves every tier with either the old or the new
+    version plus recoverable .bak/.tmp dirs — never a lost tier, and the
+    mixed state is detectable (leftover .tmp/.bak) rather than silent.
+    Replaying a delta after a PARTIAL phase-2 crash would double-merge the
+    already-swapped tiers, so recover from the leftover dirs instead (the
+    merge is not idempotent).  Local-fs renames here; on a cluster use the
+    FileSystem.rename equivalents.
     """
     import shutil
 
@@ -169,6 +190,7 @@ def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str]) -> d
 
     counts: dict[str, int] = {}
     delta_tiers = build_tiers(delta_crawl, tiers)
+    swaps: list[tuple[str, str]] = []
     for t, delta in delta_tiers.items():
         stored_path = f"{out_dir}/rollup_{t}"
         if os.path.exists(stored_path):
@@ -176,6 +198,8 @@ def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str]) -> d
             merged = merge_tiers(stored, delta)
         else:
             merged = delta
+        if retain:
+            merged = apply_retention(merged, RETENTION_DEFAULTS.get(t))
         filled = gap_fill(merged, t).withColumn("p_day", F.to_date("bucket_ts"))
         obs = Observation(f"incr_rollup_{t}")
         tmp = f"{out_dir}/.tmp_rollup_{t}"
@@ -185,14 +209,15 @@ def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str]) -> d
             partition_cols=("p_day",),
         )
         counts[f"rollup_{t}"] = int(obs.get["rows"])
-        # swap AFTER the write fully materialized (the read plan above has
-        # executed by now; a crash between rm and rename is recoverable by
-        # re-running the same delta — merge is idempotent per bucket only
-        # if the delta is replayed against the OLD stored tier, so keep
-        # .tmp until the rename succeeds)
+        swaps.append((tmp, stored_path))
+    # phase 2: all tiers written durably; swap with backups
+    for tmp, stored_path in swaps:
+        bak = stored_path + ".bak"
         if os.path.exists(stored_path):
-            shutil.rmtree(stored_path)
+            os.rename(stored_path, bak)
         os.rename(tmp, stored_path)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
     return counts
 
 
@@ -244,7 +269,13 @@ def main() -> None:
 
     t_start = time.time()
     if args.incremental:
-        counts = process_incremental(spark, crawl, args.output, tiers)
+        # incremental maintains TIERS only: kernel outputs (blobs/segments)
+        # would silently go stale, so asking for them here is an error —
+        # refresh them with a follow-up full run (the bucketed kernel input
+        # auto-reuses when unchanged) or compact_blobs.
+        if args.segment or args.chunked:
+            raise SystemExit("--incremental is tier-only: run --segment/--chunked separately")
+        counts = process_incremental(spark, crawl, args.output, tiers, retain=args.retain)
         metrics.emit(run_id=run_id, partition_key="DELTA",
                      wall_ms=int((time.time() - t_start) * 1000), **counts)
     elif not args.chunked:
@@ -271,8 +302,11 @@ def main() -> None:
             if args.segment:
                 chunk_dirs.append(f"{args.output}/segments/b={pk}")
             bytes_out = ckpt.dir_bytes(*chunk_dirs)
+            # rows_out = data rows only — the *_approx_urls observe metrics
+            # are cardinality sketches, not rows
+            rows_out = sum(v for k, v in counts.items() if not k.endswith("_approx_urls"))
             ckpt.mark_done(spark, manifest_path, run_id, pk, rows_in,
-                           sum(counts.values()), bytes_out, wall)
+                           rows_out, bytes_out, wall)
             metrics.emit(run_id=run_id, partition_key=pk, rows_in=rows_in,
                          bytes_out=bytes_out, wall_ms=wall, **counts)
     total = time.time() - t_start

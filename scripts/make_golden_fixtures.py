@@ -34,11 +34,16 @@ def main() -> None:
     import __spark_entry__ as entry
     from yatsm_spark.session import get_spark
 
+    # the golden queries are sf-independent synthetics, but they receive a
+    # data dir per the driver contract — overridable, never hardcoded-only
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     spark = get_spark("golden_fixtures", master="local[8]", shuffle_partitions=16)
     qs = entry.queries()
     for name in GOLDEN_QUERIES:
-        pdf = qs[name](spark, "/root/testdata/sf0.01").toPandas()
+        pdf = qs[name](spark, sf_dir).toPandas()
         table = pa.Table.from_pandas(pdf, preserve_index=False)
         out = os.path.join(FIXTURE_DIR, f"{name}.parquet")
         pq.write_table(table, out, compression="zstd")

@@ -625,6 +625,13 @@ def fit_series_chunked(
     t, y = t[order], y[order]
     if t.size <= chunk_rows:
         return fit_series(t, y, params)
+    if np.any(np.diff(t) <= 0):
+        # duplicate/zero-gap timestamps break the break_t -> index mapping
+        # the stitch relies on (searchsorted could fail to advance and the
+        # loop would re-fit the same window forever).  The exactness
+        # contract only holds for strictly increasing series; fall back to
+        # the single-pass fit rather than risk non-termination.
+        return fit_series(t, y, params)
 
     base = params
     if base.screen == "mad":
@@ -658,7 +665,12 @@ def fit_series_chunked(
             segments.append(s)
             if s is last_broken:
                 break
-        pos = int(np.searchsorted(t, last_broken.break_t, side="left"))
+        new_pos = int(np.searchsorted(t, last_broken.break_t, side="left"))
+        if new_pos <= pos:  # belt-and-braces: never re-fit the same window
+            window *= 2
+            del segments[len(segments) - segs.index(last_broken) - 1 :]
+            continue
+        pos = new_pos
         window = chunk_rows
 
     if params.commission_alpha > 0 or params.omission_alpha > 0:

@@ -334,9 +334,10 @@ def sliding_mean(
     exact: bool = False,
 ) -> DataFrame:
     """Trailing time-RANGE moving aggregate over a tier: for each bucket,
-    the mean of ``value_col`` across all buckets within the past
-    ``window_sec`` seconds (inclusive) of the same key — the 24h-moving-
-    average family.
+    the mean of ``value_col`` across buckets in the half-open trailing
+    window (bucket_ts - window_sec, bucket_ts] of the same key — e.g.
+    window_sec=86400 on a 1h tier covers the current bucket plus the 23
+    before it (a bucket exactly 24h back has aged out).
 
     rangeBetween on epoch seconds (not rowsBetween): gaps in the tier must
     shrink the window's population, not silently widen its time span.  One

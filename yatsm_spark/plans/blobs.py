@@ -35,6 +35,41 @@ BLOBS_SCHEMA = (
 POINTS_SCHEMA = "url string, tier string, bucket_ts timestamp, value double"
 
 
+def _url_runs(batches, ts_col: str, value_cols: tuple[str, ...]):
+    """Shared partition-batched iterator for the blob encoders: turns the
+    Arrow batch stream of one url-contiguous partition into numpy
+    (urls, ts_us, {col: values}) flushes.  The last url of each batch is
+    held back and re-prepended to the next (its run may continue there) —
+    this carry-over subtlety lives HERE exactly once, so both encoders
+    stay in lockstep."""
+    pend: tuple | None = None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        urls = pdf["url"].to_numpy()
+        ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000  # ns -> us
+        vals = {c: pdf[c].to_numpy(dtype="float64") for c in value_cols}
+        if pend is not None:
+            urls = np.concatenate((pend[0], urls))
+            ts_us = np.concatenate((pend[1], ts_us))
+            vals = {c: np.concatenate((pend[2][c], vals[c])) for c in value_cols}
+        # rows are url-contiguous by the sort, so the last url's run is a
+        # suffix; hold it back for the next batch
+        cut = int(np.flatnonzero(urls == urls[-1])[0])
+        pend = (urls[cut:], ts_us[cut:], {c: vals[c][cut:] for c in value_cols})
+        if cut:
+            yield urls[:cut], ts_us[:cut], {c: vals[c][:cut] for c in value_cols}
+    if pend is not None and pend[0].size:
+        yield pend
+
+
+def _run_bounds(urls: np.ndarray):
+    """(start, end) index pairs of each url run in a url-contiguous array —
+    one vectorized comparison, no pandas groupby."""
+    bounds = np.flatnonzero(urls[1:] != urls[:-1]) + 1
+    return np.concatenate(([0], bounds)), np.concatenate((bounds, [urls.size]))
+
+
 def encode_blobs(
     tier_df: DataFrame,
     tier: str,
@@ -54,61 +89,34 @@ def encode_blobs(
     partition-contiguous by the sort).
     """
 
-    def encode_arrays(urls: np.ndarray, ts_us: np.ndarray, vals: np.ndarray):
-        """Encode every url run in the (url-contiguous) arrays — boundaries
-        found with one numpy comparison, groups sliced directly; no
-        per-group pandas frames (the groupby+frame path cost ~2x the codec
-        itself at ~230-row groups)."""
-        bounds = np.flatnonzero(urls[1:] != urls[:-1]) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [urls.size]))
-        rows = []
-        for s, e in zip(starts, ends):
-            t_g, v_g = ts_us[s:e], vals[s:e]
-            order = np.argsort(t_g, kind="stable")
-            t_g, v_g = t_g[order], v_g[order]
-            ts_blob, val_blob = encode_series(t_g, v_g)
-            rows.append(
-                (
-                    urls[s],
-                    tier,
-                    pd.Timestamp(t_g[0] * 1000),
-                    pd.Timestamp(t_g[-1] * 1000),
-                    e - s,
-                    ts_blob,
-                    val_blob,
-                    CODEC_VERSION,
-                )
-            )
-        return rows
-
     out_cols = [
         "url", "tier", "start_ts", "end_ts", "n_points",
         "ts_blob", "val_blob", "codec_ver",
     ]
 
     def encode_partition(batches):
-        pend: tuple | None = None  # (urls, ts_us, vals) of the held-back url
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            urls = pdf["url"].to_numpy()
-            ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000  # ns -> us
-            vals = pdf[value_col].to_numpy(dtype="float64")
-            if pend is not None:
-                urls = np.concatenate((pend[0], urls))
-                ts_us = np.concatenate((pend[1], ts_us))
-                vals = np.concatenate((pend[2], vals))
-            # the last url may continue in the next batch — hold it back
-            # (rows are url-contiguous by the sort, so its run is a suffix)
-            cut = int(np.flatnonzero(urls == urls[-1])[0])
-            pend = (urls[cut:], ts_us[cut:], vals[cut:])
-            if cut:
-                rows = encode_arrays(urls[:cut], ts_us[:cut], vals[:cut])
-                if rows:
-                    yield pd.DataFrame(rows, columns=out_cols)
-        if pend is not None and pend[0].size:
-            yield pd.DataFrame(encode_arrays(*pend), columns=out_cols)
+        for urls, ts_us, vals in _url_runs(batches, ts_col, (value_col,)):
+            v = vals[value_col]
+            rows = []
+            for s, e in zip(*_run_bounds(urls)):
+                t_g, v_g = ts_us[s:e], v[s:e]
+                order = np.argsort(t_g, kind="stable")
+                t_g, v_g = t_g[order], v_g[order]
+                ts_blob, val_blob = encode_series(t_g, v_g)
+                rows.append(
+                    (
+                        urls[s],
+                        tier,
+                        pd.Timestamp(t_g[0] * 1000),
+                        pd.Timestamp(t_g[-1] * 1000),
+                        e - s,
+                        ts_blob,
+                        val_blob,
+                        CODEC_VERSION,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
 
     src = tier_df
     if "gap_filled" in tier_df.columns:
@@ -241,60 +249,35 @@ def encode_tier_blobs(
     to 2^53 — tier counts/sums are far below).
     """
 
-    def encode_arrays(urls, ts_us, stats):
-        bounds = np.flatnonzero(urls[1:] != urls[:-1]) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [urls.size]))
-        rows = []
-        for s, e in zip(starts, ends):
-            t_g = ts_us[s:e]
-            order = np.argsort(t_g, kind="stable")
-            t_g = t_g[order]
-            from yatsm_spark.functions.codec import encode_dod, encode_gorilla
-
-            blobs = {
-                c: encode_gorilla(stats[c][s:e][order].astype(np.float64))
-                for c in stat_cols
-            }
-            rows.append(
-                (
-                    urls[s],
-                    tier,
-                    pd.Timestamp(t_g[0] * 1000),
-                    pd.Timestamp(t_g[-1] * 1000),
-                    e - s,
-                    encode_dod(t_g),
-                    blobs,
-                    CODEC_VERSION,
-                )
-            )
-        return rows
-
     cols = ["url", "tier", "start_ts", "end_ts", "n_points", "ts_blob",
             "stat_blobs", "codec_ver"]
 
     def encode_partition(batches):
-        pend = None
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            urls = pdf["url"].to_numpy()
-            ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000
-            stats = {c: pdf[c].to_numpy(dtype="float64") for c in stat_cols}
-            if pend is not None:
-                urls = np.concatenate((pend[0], urls))
-                ts_us = np.concatenate((pend[1], ts_us))
-                stats = {c: np.concatenate((pend[2][c], stats[c])) for c in stat_cols}
-            cut = int(np.flatnonzero(urls == urls[-1])[0])
-            pend = (urls[cut:], ts_us[cut:], {c: stats[c][cut:] for c in stat_cols})
-            if cut:
-                rows = encode_arrays(
-                    urls[:cut], ts_us[:cut], {c: stats[c][:cut] for c in stat_cols}
+        from yatsm_spark.functions.codec import encode_dod, encode_gorilla
+
+        for urls, ts_us, stats in _url_runs(batches, ts_col, stat_cols):
+            rows = []
+            for s, e in zip(*_run_bounds(urls)):
+                t_g = ts_us[s:e]
+                order = np.argsort(t_g, kind="stable")
+                t_g = t_g[order]
+                blobs = {
+                    c: encode_gorilla(stats[c][s:e][order]) for c in stat_cols
+                }
+                rows.append(
+                    (
+                        urls[s],
+                        tier,
+                        pd.Timestamp(t_g[0] * 1000),
+                        pd.Timestamp(t_g[-1] * 1000),
+                        e - s,
+                        encode_dod(t_g),
+                        blobs,
+                        CODEC_VERSION,
+                    )
                 )
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-        if pend is not None and pend[0].size:
-            yield pd.DataFrame(encode_arrays(*pend), columns=cols)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     src = tier_df
     if "gap_filled" in tier_df.columns:
