@@ -613,13 +613,20 @@ def _q_ann_ivf(spark, sf):
 
 
 def _q_multimodal_synth(spark, sf):  # noqa: ARG001 — synthetic media per north rule
-    """Binary media columns over the synthetic crawl html: magic sniffing
-    (real), fake-decoder metadata (stubbed decode, real plumbing)."""
+    """Binary media columns: magic sniffing (real JVM exprs) over synthetic
+    crawl html UNIONED with deterministic BMP images whose decode is REAL
+    (header + numpy pixel parse, no imaging library) — only non-BMP rows
+    take the documented fake-decoder path."""
     from yatsm_spark.datagen import generate_crawl
-    from yatsm_spark.operators.multimodal import decode_image, media_metadata
+    from yatsm_spark.operators.multimodal import decode_image, make_bmp, media_metadata
 
     crawl = generate_crawl(spark, n_urls=30, span_days=10).limit(200)
     docs = crawl.select(F.xxhash64("url", "warc_ts").alias("doc_id"), "html")
+    bmps = spark.createDataFrame(
+        [(int(-1 - i), bytearray(make_bmp(32 + i, 24 + i, seed=i))) for i in range(16)],
+        "doc_id long, html binary",
+    )
+    docs = docs.unionByName(bmps)
     meta = media_metadata(docs, "html").select("doc_id", "media_kind", "media_bytes")
     img = decode_image(docs, "html", fake=True)
     return meta.join(img, "doc_id").select(

@@ -61,3 +61,41 @@ def test_media_dedup(media):
     groups = {r["fp"]: (r["keeper_id"], r["n_docs"]) for r in
               media_dedup_keys(media, "blob").collect()}
     assert sorted(v for v in groups.values()) == [(0, 2), (1, 1), (2, 1)]
+
+
+def test_bmp_decode_is_real(spark):
+    """BMP needs no imaging library: the decoder must parse the actual
+    header and pixels — dimensions exact, channels 3, mean luma equal to
+    the numpy ground truth of the generated pattern (no fake flag)."""
+    import numpy as np
+
+    from yatsm_spark.operators.multimodal import decode_image, make_bmp, media_metadata
+
+    w0, h0, seed = 37, 21, 9  # odd width exercises row padding
+    data = make_bmp(w0, h0, seed)
+    # ground truth straight from the pattern definition
+    yy, xx = np.mgrid[0:h0, 0:w0]
+    b = (xx * 7 + seed) % 256
+    g = (yy * 13 + seed * 3) % 256
+    r = (xx + yy + seed * 5) % 256
+    luma = round(float((0.114 * b + 0.587 * g + 0.299 * r).mean()) / 255.0, 6)
+
+    df = spark.createDataFrame([(1, bytearray(data))], "doc_id long, html binary")
+    row = decode_image(df, fake=False).first()  # fake NOT needed for BMP
+    assert (row["width"], row["height"], row["n_channels"]) == (w0, h0, 3)
+    assert abs(row["mean_luma"] - luma) < 1e-9
+    assert media_metadata(df).first()["media_kind"] == "bmp"
+
+
+def test_bmp_truncated_falls_back(spark):
+    """A truncated/corrupt BMP is not silently half-decoded: it falls
+    through to the stub policy (raise without fake, fake values with)."""
+    import pytest
+
+    from yatsm_spark.operators.multimodal import decode_image, make_bmp
+
+    bad = make_bmp(16, 16, 1)[:40]
+    df = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, html binary")
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        decode_image(df, fake=False).collect()
+    assert decode_image(df, fake=True).first()["width"] >= 64

@@ -4,14 +4,17 @@ Images/audio/video ride as opaque ``binary`` columns with typed metadata,
 processed via Arrow-batched ``mapInPandas`` — the same physical pattern as
 the text kernels, so partitioning/batching behavior is identical at 100 TB.
 
-The sandbox has no image/audio libraries, so the actual media decode is
-STUBBED (north-rule compliant): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic, seed-free fake decoder (bytes -> hash-derived dimensions +
-channel stats) exercises the full Spark path — schema, shuffle,
-mapInPandas batch shape, metadata struct — with real data movement.  On a
-real deployment only ``_decode_image_bytes`` changes (PIL/libvips); every
-plan stays the same.
+Decode support is tiered by what the environment allows:
+  * **BMP decode is REAL** — uncompressed 8/24/32-bit BMP needs only
+    header parsing + a numpy view (no imaging library), so
+    ``_decode_bmp`` genuinely parses dimensions/channels and computes the
+    Rec.601 mean luma; ``make_bmp`` synthesizes deterministic test images.
+  * Compressed formats (png/jpeg/...) are STUBBED (no PIL/libvips in this
+    environment): ``decode_image`` raises ``NotImplementedError`` unless
+    ``fake=True``, in which case a deterministic hash-derived fake
+    exercises the full Spark path — schema, shuffle, mapInPandas batch
+    shape — with real data movement.  On a real deployment only
+    ``_decode_image_bytes``'s fallback changes; every plan stays the same.
 
 Operators:
   * :func:`media_metadata`    — magic-byte sniffing + sizes (pure exprs)
@@ -41,6 +44,7 @@ _MAGIC = [
     ("89504e47", "png"),
     ("ffd8ff", "jpeg"),
     ("474946", "gif"),
+    ("424d", "bmp"),
     ("52494646", "riff"),  # wav/avi/webp container
     ("3c68746d6c", "html"),
 ]
@@ -58,17 +62,79 @@ def media_metadata(df: DataFrame, bin_col: str = "html") -> DataFrame:
     )
 
 
-def _decode_image_bytes(data: bytes, fake: bool) -> tuple[int, int, int, float]:
-    """Decode one image.  STUB: no imaging library in this environment.
+def _decode_bmp(data: bytes):
+    """REAL decode of uncompressed 8/24/32-bit BMP — header parse + numpy
+    pixel view, no imaging library required.  Returns None when the bytes
+    are not a decodable BMP (caller falls through to the stub policy)."""
+    import struct
 
-    The fake path derives deterministic pseudo-metadata from a content
-    hash — stable across runs/partitions, so tests can assert exact
-    values while exercising the real batch plumbing.
-    """
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    px_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_sz = struct.unpack_from("<I", data, 14)[0]
+    if hdr_sz < 40:
+        return None
+    w = struct.unpack_from("<i", data, 18)[0]
+    h = abs(struct.unpack_from("<i", data, 22)[0])
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if comp != 0 or bpp not in (8, 24, 32) or w <= 0 or h <= 0:
+        return None
+    ch = bpp // 8
+    stride = ((w * ch + 3) // 4) * 4
+    if len(data) < px_off + stride * h:
+        return None
+    arr = np.frombuffer(data, np.uint8, stride * h, px_off).reshape(h, stride)
+    px = arr[:, : w * ch]
+    if ch == 1:
+        luma = float(px.mean()) / 255.0
+    else:
+        rgb = px.reshape(h, w, ch).astype(np.float64)  # BGR(A) byte order
+        luma = float(
+            (0.114 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.299 * rgb[..., 2]).mean()
+        ) / 255.0
+    return w, h, ch, round(luma, 6)
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic uncompressed 24-bit BMP for tests/synthetic corpora —
+    pixel pattern derived from (x, y, seed) arithmetic, no RNG state."""
+    import struct
+
+    import numpy as np
+
+    ch = 3
+    stride = ((width * ch + 3) // 4) * 4
+    yy, xx = np.mgrid[0:height, 0:width]
+    b = ((xx * 7 + seed) % 256).astype(np.uint8)
+    g = ((yy * 13 + seed * 3) % 256).astype(np.uint8)
+    r = ((xx + yy + seed * 5) % 256).astype(np.uint8)
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, 0 : width * ch : 3] = b
+    rows[:, 1 : width * ch : 3] = g
+    rows[:, 2 : width * ch : 3] = r
+    px = rows[::-1].tobytes()  # bottom-up row order, per the BMP default
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    return header + px
+
+
+def _decode_image_bytes(data: bytes, fake: bool) -> tuple[int, int, int, float]:
+    """Decode one image: REAL for uncompressed BMP; hash-derived stub for
+    formats whose decoders need libraries absent from this environment
+    (only reachable with ``fake=True`` — the stub is never silent)."""
+    bmp = _decode_bmp(data)
+    if bmp is not None:
+        return bmp
     if not fake:
         raise NotImplementedError(
-            "image decode requires an imaging library (PIL/libvips) — "
-            "not installed in this environment; pass fake=True for the "
+            "non-BMP image decode requires an imaging library (PIL/libvips)"
+            " — not installed in this environment; pass fake=True for the "
             "deterministic stub"
         )
     h = hashlib.md5(data).digest()
