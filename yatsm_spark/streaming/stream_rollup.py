@@ -82,6 +82,28 @@ def stream_sessionize(
     )
 
 
+def tier_batch_sink(path: str):
+    """Exactly-once parquet sink for a streamed tier, for
+    ``writeStream.foreachBatch``: each micro-batch lands in its own
+    ``batch=<id>`` directory with mode=overwrite, so a batch REPLAYED
+    after a failure overwrites its own previous (possibly partial) output
+    instead of appending duplicates — idempotence comes from the
+    deterministic (batch_id -> directory) mapping, the standard
+    foreachBatch exactly-once recipe.
+
+    Downstream, the directory unions back into one tier (append-mode
+    windows are final, each emitted once) and can be folded into the
+    stored batch tier with the cnt+sum algebra
+    (operators/rollup.py::merge_tiers / the series-shaped union-groupBy)
+    — see test_streaming.py::test_streamed_tier_reconciles_with_batch_backfill.
+    """
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return write
+
+
 def stream_exact_dedup(
     stream: DataFrame,
     watermark: str = "2 hours",
