@@ -449,6 +449,19 @@ def _q_emb_neardup_lsh(spark, sf):
     )
 
 
+def _q_docs_hash_split(spark, sf):
+    """Deterministic train/val/test split + 10%-sample membership by
+    content hash — partition- and cluster-size-invariant (df.sample()'s
+    rand() is neither), and engine-reproducible via the portable hash."""
+    from yatsm_spark.functions.textops import hash_bucket_pct, hash_split
+
+    docs = _t(spark, sf, "documents")
+    out = hash_split(docs, "doc_id", train_pct=80, val_pct=10)
+    return out.select(
+        "doc_id", "split", (hash_bucket_pct("doc_id") < 10).alias("in_10pct_sample")
+    )
+
+
 def _q_url_canonicalize(spark, sf):
     """URL canonicalization over synthesized raw variants (built from
     customer keys so the oracle constructs the identical inputs): case,
@@ -727,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "docs_token_regex": _q_docs_token_regex,
         "url_canonicalize": _q_url_canonicalize,
+        "docs_hash_split": _q_docs_hash_split,
         "docs_winnow_fp": _q_docs_winnow_fp,
         "codec_roundtrip": _q_codec_roundtrip,
         "blob_range_read": _q_blob_range_read,
@@ -1240,6 +1254,17 @@ SELECT id_a, id_b, round(c, 6) AS sim FROM s WHERE c >= {threshold}
 """
 
 
+_DOCS_HASH_SPLIT = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#0'), 1, 8))::BIGINT % 100 AS b
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       b < 10 AS in_10pct_sample
+FROM h
+"""
+
 _URL_CANON = """
 WITH raw AS (
   SELECT c_custkey,
@@ -1384,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_lsh": _emb_neardup_lsh_oracle(n_planes=4, n_tables=4),
         "docs_token_regex": _DOCS_TOKEN_REGEX,
         "url_canonicalize": _URL_CANON,
+        "docs_hash_split": _DOCS_HASH_SPLIT,
         "docs_winnow_fp": _DOCS_WINNOW,
         "codec_roundtrip": _CODEC_RT,
         "blob_range_read": _BLOB_RANGE,

@@ -187,3 +187,23 @@ def test_lsh_neardup_rejoin_strategy_identical(vectors):
     a = sorted(map(tuple, lsh_neardup_pairs(vectors, **kw).collect()))
     b = sorted(map(tuple, lsh_neardup_pairs(vectors, carry_vectors=False, **kw).collect()))
     assert a == b and len(a) > 0
+
+
+def test_hash_split_partition_invariant(docs):
+    """Split membership is a pure function of the key: identical under
+    repartitioning (df.sample would not be), fractions roughly honored,
+    and the 10% sample is a subset of rows with bucket < 10."""
+    from yatsm_spark.functions.textops import hash_sample, hash_split
+
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7), "doc_id").collect()
+    }
+    assert a == b and set(a.values()) <= {"train", "val", "test"}
+    s1 = {r["doc_id"] for r in hash_sample(docs, 40, "doc_id").collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs.repartition(3), 40, "doc_id").collect()}
+    assert s1 == s2
+    # monotone: a 40% sample contains the 20% sample (same salt)
+    s_small = {r["doc_id"] for r in hash_sample(docs, 20, "doc_id").collect()}
+    assert s_small <= s1

@@ -241,3 +241,45 @@ def canonicalize_url(url_col: str | Column) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+def hash_bucket_pct(col: str | Column, salt: int = 0) -> Column:
+    """Deterministic 0-99 bucket from the portable content hash — the
+    primitive under :func:`hash_sample` / :func:`hash_split`.  Depends
+    only on the VALUE (never partitioning, never a RNG), so samples and
+    splits are reproducible across runs, cluster sizes, and engines
+    (DuckDB twin uses the same md5-prefix hash)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(portable_hash64(c.cast("string"), salt=salt), F.lit(100))
+
+
+def hash_sample(df: DataFrame, keep_pct: int, key_col: str, salt: int = 0) -> DataFrame:
+    """Deterministic ``keep_pct``-percent sample keyed on content hash —
+    the training-data downsampler.  Unlike ``df.sample()`` (rand() per
+    row: partitioning-dependent, irreproducible across cluster sizes),
+    membership is a pure function of the key, so re-runs, backfills, and
+    different cluster layouts select the SAME rows, and a document keeps
+    or loses membership consistently across every derived table keyed the
+    same way."""
+    return df.filter(hash_bucket_pct(key_col, salt) < keep_pct)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash (the
+    remainder after train+val is test).  Same guarantees as
+    :func:`hash_sample`; a key's split never changes when data is
+    re-partitioned, re-ingested, or the corpus grows."""
+    b = hash_bucket_pct(key_col, salt)
+    return df.withColumn(
+        out_col,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
