@@ -172,24 +172,49 @@ def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str],
     to a plain build.  Exactness: incremental(part1)+incremental(part2) ==
     one-shot(all rows), tested in tests/test_incremental.py.
 
+    EXACTNESS PRECONDITION: deltas must be (url, warc_ts)-disjoint from
+    data already folded in — series_clean's duplicate-row dedup runs per
+    delta, so a crawl record RE-DELIVERED in a later delta counts twice
+    (the one-shot build would dedup it).  Append-only feeds keyed by fetch
+    time satisfy this; re-ingesting feeds need upstream dedup or periodic
+    full rebuilds (the standard continuous-aggregate caveat).
+
     Crash-safety: every merged tier is fully written to ``.tmp_rollup_*``
     BEFORE any live tier moves (phase 1), so a mid-write crash leaves all
     live tiers untouched and the delta simply re-runs.  Phase 2 swaps each
-    tier via backup-rename (live -> .bak, tmp -> live, drop .bak): a crash
-    inside phase 2 leaves every tier with either the old or the new
-    version plus recoverable .bak/.tmp dirs — never a lost tier, and the
-    mixed state is detectable (leftover .tmp/.bak) rather than silent.
-    Replaying a delta after a PARTIAL phase-2 crash would double-merge the
-    already-swapped tiers, so recover from the leftover dirs instead (the
-    merge is not idempotent).  Local-fs renames here; on a cluster use the
-    FileSystem.rename equivalents.
+    tier via backup-rename (live -> .bak, tmp -> live) and removes ONLY
+    the .bak dirs this run itself created, after every swap succeeded — a
+    crash inside phase 2 leaves each tier as either old or new plus its
+    recoverable .bak/.tmp.  A run REFUSES to start over leftover
+    .bak/.tmp dirs (a prior run died mid-swap; replaying the delta then
+    would double-merge already-swapped tiers because the merge is not
+    idempotent) — recover the leftovers first.  Local-fs renames here; on
+    a cluster use the FileSystem.rename equivalents.
     """
     import shutil
 
     from pyspark.sql import Observation
 
+    leftovers = [
+        p
+        for t in tiers
+        for p in (f"{out_dir}/.tmp_rollup_{t}", f"{out_dir}/rollup_{t}.bak")
+        if os.path.exists(p)
+    ]
+    if leftovers:
+        raise SystemExit(
+            "incremental refuses to run over leftover swap state (a prior "
+            f"run died mid-swap): {leftovers} — restore or remove these "
+            "first; re-running the delta blindly would double-merge tiers"
+        )
+
     counts: dict[str, int] = {}
     delta_tiers = build_tiers(delta_crawl, tiers)
+    # persist: each delta tier feeds its own merge AND the next cascade
+    # (and the retention anchor re-reads the merged frame) — same
+    # ReuseExchange gap as process() (BENCH/BASELINE.md pitfall 4)
+    for t in delta_tiers:
+        delta_tiers[t] = delta_tiers[t].persist()
     swaps: list[tuple[str, str]] = []
     for t, delta in delta_tiers.items():
         stored_path = f"{out_dir}/rollup_{t}"
@@ -199,6 +224,7 @@ def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str],
         else:
             merged = delta
         if retain:
+            merged = merged.persist()  # retention's max-anchor reads it twice
             merged = apply_retention(merged, RETENTION_DEFAULTS.get(t))
         filled = gap_fill(merged, t).withColumn("p_day", F.to_date("bucket_ts"))
         obs = Observation(f"incr_rollup_{t}")
@@ -210,14 +236,19 @@ def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str],
         )
         counts[f"rollup_{t}"] = int(obs.get["rows"])
         swaps.append((tmp, stored_path))
-    # phase 2: all tiers written durably; swap with backups
+    for df in delta_tiers.values():
+        df.unpersist()
+    # phase 2: all tiers written durably; swap with backups, then clean up
+    # only the baks WE created once every swap has succeeded
+    own_baks: list[str] = []
     for tmp, stored_path in swaps:
         bak = stored_path + ".bak"
         if os.path.exists(stored_path):
             os.rename(stored_path, bak)
+            own_baks.append(bak)
         os.rename(tmp, stored_path)
-        if os.path.exists(bak):
-            shutil.rmtree(bak)
+    for bak in own_baks:
+        shutil.rmtree(bak)
     return counts
 
 

@@ -35,3 +35,23 @@ def test_incremental_job_equals_one_shot(spark, tmp_path):
         a = got.select(cols)
         b = exp.select(cols)
         assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+
+def test_incremental_refuses_leftover_swap_state(spark, tmp_path):
+    """A prior run that died mid-swap leaves .bak/.tmp dirs; blindly
+    replaying the delta would double-merge, so the job must refuse."""
+    import os
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from jobs.rollup import process_incremental
+
+    from yatsm_spark.datagen import generate_crawl
+
+    out = str(tmp_path / "incr_refuse")
+    os.makedirs(f"{out}/rollup_1h.bak", exist_ok=True)
+    crawl = generate_crawl(spark, n_urls=3, span_days=3)
+    with pytest.raises(SystemExit, match="leftover swap state"):
+        process_incremental(spark, crawl, out, ["1h"])

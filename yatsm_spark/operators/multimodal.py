@@ -5,7 +5,7 @@ processed via Arrow-batched ``mapInPandas`` — the same physical pattern as
 the text kernels, so partitioning/batching behavior is identical at 100 TB.
 
 Decode support is tiered by what the environment allows:
-  * **BMP decode is REAL** — uncompressed 8/24/32-bit BMP needs only
+  * **BMP decode is REAL** — uncompressed 24/32-bit BMP needs only
     header parsing + a numpy view (no imaging library), so
     ``_decode_bmp`` genuinely parses dimensions/channels and computes the
     Rec.601 mean luma; ``make_bmp`` synthesizes deterministic test images.
@@ -63,9 +63,13 @@ def media_metadata(df: DataFrame, bin_col: str = "html") -> DataFrame:
 
 
 def _decode_bmp(data: bytes):
-    """REAL decode of uncompressed 8/24/32-bit BMP — header parse + numpy
+    """REAL decode of uncompressed 24/32-bit BMP — header parse + numpy
     pixel view, no imaging library required.  Returns None when the bytes
-    are not a decodable BMP (caller falls through to the stub policy)."""
+    are not a decodable BMP (caller falls through to the stub policy).
+    8-bit BMPs are REJECTED rather than half-decoded: their pixels are
+    palette indices, and mean(indices) is not luma unless the palette
+    happens to be identity grayscale — honest fallback beats a silently
+    wrong number."""
     import struct
 
     import numpy as np
@@ -80,7 +84,7 @@ def _decode_bmp(data: bytes):
     h = abs(struct.unpack_from("<i", data, 22)[0])
     bpp = struct.unpack_from("<H", data, 28)[0]
     comp = struct.unpack_from("<I", data, 30)[0]
-    if comp != 0 or bpp not in (8, 24, 32) or w <= 0 or h <= 0:
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h <= 0:
         return None
     ch = bpp // 8
     stride = ((w * ch + 3) // 4) * 4
@@ -88,13 +92,10 @@ def _decode_bmp(data: bytes):
         return None
     arr = np.frombuffer(data, np.uint8, stride * h, px_off).reshape(h, stride)
     px = arr[:, : w * ch]
-    if ch == 1:
-        luma = float(px.mean()) / 255.0
-    else:
-        rgb = px.reshape(h, w, ch).astype(np.float64)  # BGR(A) byte order
-        luma = float(
-            (0.114 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.299 * rgb[..., 2]).mean()
-        ) / 255.0
+    rgb = px.reshape(h, w, ch).astype(np.float64)  # BGR(A) byte order
+    luma = float(
+        (0.114 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.299 * rgb[..., 2]).mean()
+    ) / 255.0
     return w, h, ch, round(luma, 6)
 
 

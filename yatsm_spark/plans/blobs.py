@@ -207,7 +207,10 @@ def compact_blobs(
     to encoding the merged series from scratch (asserted in tests).
     """
     old = decode_blobs(blobs).select(
-        "url", ts_col, F.col("value").alias("_v"), F.lit(0).alias("_p")
+        "url",
+        F.col("bucket_ts").alias(ts_col),  # decode always emits bucket_ts
+        F.col("value").alias("_v"),
+        F.lit(0).alias("_p"),
     )
     new = new_points.select(
         "url",
@@ -233,20 +236,27 @@ TIER_BLOBS_SCHEMA = (
 def encode_tier_blobs(
     tier_df: DataFrame,
     tier: str,
-    stat_cols: tuple[str, ...] = ("cnt", "sum_len", "min_len", "max_len"),
+    stat_cols: tuple[str, ...] = ("cnt", "sum_len", "min_len", "max_len", "sum_ts"),
     ts_col: str = "bucket_ts",
     presorted: bool = False,
 ) -> DataFrame:
-    """LOSSLESS tier archive: one timestamp stream + one Gorilla stream PER
+    """Numeric tier archive: one timestamp stream + one Gorilla stream PER
     STAT per (url, tier) — unlike :func:`encode_blobs` (single value
-    column), decoding reconstructs every re-aggregable tier stat, so
-    coarser tiers can cascade exactly from the blob store alone (cnt+sum
-    algebra) and the raw tier parquet can age out.
+    column), decoding reconstructs every archived NUMERIC stat bit-exactly,
+    so coarser numeric tiers cascade exactly from the blob store alone
+    (cnt+sum algebra; sum_ts included by default so model fits keep the
+    true mean observation time).
+
+    SCOPE — what the archive does NOT hold: ``lang_dist`` (a map cannot
+    ride a float codec; keep it in the tier parquet or a dictionary-encoded
+    companion table) and gap rows (recreate with gap_fill after decode).
+    Aging out the tier parquet entirely therefore loses lang_dist history;
+    age it out only when the numeric stats are all that downstream needs.
 
     Same shuffle-free-capable physical plan as encode_blobs (url
     repartition+sort, or presorted scan; numpy boundary slicing per batch).
     Ints ride the float codec via exact int64->float64 widening (lossless
-    to 2^53 — tier counts/sums are far below).
+    to 2^53 — tier counts/sums, incl. summed epoch seconds, are far below).
     """
 
     cols = ["url", "tier", "start_ts", "end_ts", "n_points", "ts_blob",

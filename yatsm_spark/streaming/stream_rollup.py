@@ -121,8 +121,10 @@ def stream_exact_dedup(
     ingest feed duplicate-free between batch passes — same split as the
     rollup (§2.6 semantics note at the top of this module).
     """
+    from yatsm_spark.functions.textops import fingerprint
+
     return (
-        stream.withColumn("fp", F.md5(F.col(text_col).cast("binary")))
+        stream.withColumn("fp", fingerprint(text_col))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fp"])
     )
