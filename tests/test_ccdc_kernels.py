@@ -191,3 +191,67 @@ def test_determinism():
     for s1, s2 in zip(a, b):
         assert s1.start_t == s2.start_t and s1.status == s2.status
         np.testing.assert_array_equal(s1.coef, s2.coef)
+
+
+def test_lowess_tracks_known_curve():
+    """F5: the LOWESS fit must track a smooth signal closely and resist
+    outliers (robustifying iterations)."""
+    import numpy as np
+
+    from yatsm_spark.functions.ccdc import lowess
+
+    rng = np.random.default_rng(3)
+    t = np.linspace(0, 10, 200)
+    truth = np.sin(t) * 5 + 0.5 * t
+    y = truth + rng.normal(0, 0.2, t.size)
+    y[25] += 40.0  # gross outlier
+    y[140] -= 35.0
+    fit = lowess(t, y, frac=0.2, it=2)
+    clean = np.ones(t.size, dtype=bool)
+    clean[[25, 140]] = False
+    assert np.abs(fit[clean] - truth[clean]).mean() < 0.25
+    # the fit does NOT chase the outliers
+    assert abs(fit[25] - truth[25]) < 3.0 and abs(fit[140] - truth[140]) < 3.0
+
+
+def test_lowess_screen_keeps_shift_drops_spikes():
+    """Trend-following screen semantics: a genuine level shift stays IN
+    (it's signal for the break detector), an isolated spike goes OUT."""
+    import numpy as np
+
+    from yatsm_spark.functions.ccdc import lowess_screen
+
+    rng = np.random.default_rng(5)
+    t = np.arange(300, dtype=np.float64)
+    y = np.where(t < 150, 100.0, 180.0) + rng.normal(0, 2.0, t.size)
+    y[40] += 60.0
+    y[220] -= 55.0
+    keep = lowess_screen(t, y, crit=3.5, frac=0.15)
+    assert not keep[40] and not keep[220]  # spikes screened
+    # rows away from the step edge are kept (the smoother blurs the
+    # transition itself over ~half a window — those edge drops are the
+    # known cost of any trend screen at a discontinuity)
+    far = np.ones(t.size, dtype=bool)
+    far[125:175] = False
+    assert keep[far].mean() > 0.97
+    assert keep.mean() > 0.9
+
+
+def test_lowess_screen_in_fit_series():
+    """screen='lowess' plugs into the CCDC loop and still finds the break;
+    the chunked fit applies the same global screen (exact equality)."""
+    import numpy as np
+
+    from yatsm_spark.functions.ccdc import CCDCParams, fit_series, fit_series_chunked
+
+    rng = np.random.default_rng(7)
+    t = np.arange(0, 600, 2, dtype=np.float64)
+    y = np.where(t < 300, 1000.0, 1600.0) + rng.normal(0, 10.0, t.size)
+    y[30] += 400.0  # spike the screen should eat
+    params = CCDCParams(period=7.0, min_span=56.0, retrain_time=56.0, screen="lowess")
+    segs = fit_series(t, y, params)
+    assert sum(s.status.startswith("broken") for s in segs) == 1
+    chunked = fit_series_chunked(t, y, params, chunk_rows=120)
+    assert [(s.start_t, s.end_t, s.status) for s in chunked] == [
+        (s.start_t, s.end_t, s.status) for s in segs
+    ]

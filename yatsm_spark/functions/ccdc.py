@@ -58,7 +58,7 @@ class CCDCParams:
     retrain_time: float = 365.25  # days between refits while monitoring
     min_rmse: float = 1.0  # floor on rmse in monitor scores
     lasso_alpha: float = 0.0  # 0 => OLS; reference default Lasso(alpha=20)
-    screen: str = "tmask"  # 'tmask' | 'mad' | 'none'
+    screen: str = "tmask"  # 'tmask' | 'mad' | 'lowess' | 'none'
     screen_crit: float = 3.5
     commission_alpha: float = 0.0  # 0 => commission (Chow) test off
     omission_alpha: float = 0.0  # 0 => omission (CUSUM) test off
@@ -183,6 +183,79 @@ def mad_screen(y: np.ndarray, crit: float = 3.5) -> np.ndarray:
     med = np.median(y)
     sigma = 1.4826 * np.median(np.abs(y - med)) + _EPS
     return np.abs(y - med) <= crit * sigma
+
+
+def lowess(
+    t: np.ndarray, y: np.ndarray, frac: float = 0.3, it: int = 2
+) -> np.ndarray:
+    """F5: LOWESS (Cleveland 1979) — locally weighted linear regression
+    with tricube kernel weights and ``it`` robustifying iterations
+    (bisquare on the residuals), the same algorithm statsmodels'
+    ``lowess`` implements (that library is absent here; this is an own
+    numpy implementation of the published method).
+
+    Deterministic: fixed window size ceil(frac*n), fixed iteration count,
+    no RNG.  O(n * k) with k = window size — fine for the per-series
+    screening sizes CCDC uses it for (the reference screens with
+    statsmodels lowess in yatsm/masking.py [U]).
+    """
+    t = np.asarray(t, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = t.size
+    if n < 3:
+        return y.copy()
+    k = min(n, max(2, int(math.ceil(frac * n))))
+    order = np.argsort(t, kind="stable")
+    ts, ys = t[order], y[order]
+    fitted_s = np.empty(n)
+    delta = np.ones(n)
+    for _iter in range(it + 1):
+        lo = 0
+        for i in range(n):
+            # slide the k-window to the neighborhood nearest ts[i]
+            while lo + k < n and ts[lo + k] - ts[i] < ts[i] - ts[lo]:
+                lo += 1
+            hi = lo + k
+            tw, yw, dw = ts[lo:hi], ys[lo:hi], delta[lo:hi]
+            d = np.abs(tw - ts[i])
+            dmax = d.max() + _EPS
+            w = (1.0 - (d / dmax) ** 3) ** 3  # tricube
+            w = w * dw
+            sw = w.sum()
+            if sw <= _EPS:
+                fitted_s[i] = ys[i]
+                continue
+            # weighted linear fit at ts[i] (closed form, 2x2 normal eqs)
+            tm = (w * tw).sum() / sw
+            ym = (w * yw).sum() / sw
+            cov = (w * (tw - tm) * (yw - ym)).sum()
+            var = (w * (tw - tm) ** 2).sum()
+            beta = cov / var if var > _EPS else 0.0
+            fitted_s[i] = ym + beta * (ts[i] - tm)
+        if _iter == it:
+            break
+        resid = ys - fitted_s
+        s = np.median(np.abs(resid)) + _EPS
+        delta = np.clip(resid / (6.0 * s), -1.0, 1.0)
+        delta = (1.0 - delta**2) ** 2  # bisquare robustifying weights
+    fitted = np.empty(n)
+    fitted[order] = fitted_s
+    return fitted
+
+
+def lowess_screen(
+    t: np.ndarray, y: np.ndarray, crit: float = 3.5, frac: float = 0.3
+) -> np.ndarray:
+    """F5 as a screen: drop observations farther than ``crit`` robust
+    sigmas from the LOWESS curve — the reference's multitemporal cloud/
+    shadow screen family, trend-following where the MAD screen is
+    location-only (a genuine level shift stays IN, a spike goes OUT).
+    Returns a boolean KEEP mask."""
+    if t.size < 8:
+        return np.ones(t.size, dtype=bool)
+    resid = y - lowess(t, y, frac=frac)
+    sigma = 1.4826 * np.median(np.abs(resid - np.median(resid))) + _EPS
+    return np.abs(resid) <= crit * sigma
 
 
 # --------------------------------------------------- recursive residuals K8
@@ -403,6 +476,9 @@ def fit_series(
     # location-only MAD variant is offered as an explicit global mode.
     if params.screen == "mad":
         keep = mad_screen(y, params.screen_crit)
+        t, y = t[keep], y[keep]
+    elif params.screen == "lowess":
+        keep = lowess_screen(t, y, params.screen_crit)
         t, y = t[keep], y[keep]
     n = t.size
 
@@ -634,10 +710,14 @@ def fit_series_chunked(
         return fit_series(t, y, params)
 
     base = params
-    if base.screen == "mad":
-        # the MAD screen is global in fit_series; apply it once up front so
+    if base.screen in ("mad", "lowess"):
+        # these screens are global in fit_series; apply once up front so
         # per-chunk fits see the identical post-screen series
-        keep = mad_screen(y, base.screen_crit)
+        keep = (
+            mad_screen(y, base.screen_crit)
+            if base.screen == "mad"
+            else lowess_screen(t, y, base.screen_crit)
+        )
         t, y = t[keep], y[keep]
         base = replace(base, screen="none")
     # post-passes run over the stitched whole, not per chunk
