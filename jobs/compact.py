@@ -50,9 +50,19 @@ def main() -> None:
     blobs = spark.read.parquet(args.blobs)
     pts = spark.read.parquet(args.new_points)
 
+    # guard: compaction is single-tier by contract — a mismatched or
+    # multi-tier input would silently relabel rows (and collapse one
+    # url's tiers into a single series inside compact_blobs)
+    stored_tiers = sorted(r["tier"] for r in blobs.select("tier").distinct().collect())
+    if stored_tiers != [args.tier]:
+        raise SystemExit(
+            f"--tier {args.tier} does not match the blob table's tier set "
+            f"{stored_tiers}; compact one tier at a time"
+        )
+
     t0 = time.time()
     if args.only_touched_urls:
-        touched = pts.select("url").distinct()
+        touched = pts.select("url").distinct().cache()  # reused by both joins
         hit = blobs.join(F.broadcast(touched), "url", "left_semi")
         miss = blobs.join(F.broadcast(touched), "url", "left_anti")
         compacted = compact_blobs(hit, pts, args.tier).unionByName(miss)

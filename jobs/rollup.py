@@ -185,30 +185,40 @@ def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str],
     tier via backup-rename (live -> .bak, tmp -> live) and removes ONLY
     the .bak dirs this run itself created, after every swap succeeded — a
     crash inside phase 2 leaves each tier as either old or new plus its
-    recoverable .bak/.tmp.  A run REFUSES to start over leftover
-    .bak/.tmp dirs (a prior run died mid-swap; replaying the delta then
-    would double-merge already-swapped tiers because the merge is not
-    idempotent) — recover the leftovers first.  Local-fs renames here; on
-    a cluster use the FileSystem.rename equivalents.
+    recoverable .bak/.tmp.  A run REFUSES to start over leftover .bak
+    dirs from ANY prior run (phase 2 started: some tiers may already hold
+    the merged delta, and replaying would double-merge — the merge is not
+    idempotent); leftover .tmp dirs WITHOUT a .bak mean the crash was in
+    phase 1, which is safe: they are cleared and the delta re-runs.
+    Local-fs renames here; on a cluster use the FileSystem.rename
+    equivalents.
     """
     import shutil
 
     from pyspark.sql import Observation
 
-    leftovers = [
-        p
-        for t in tiers
-        for p in (f"{out_dir}/.tmp_rollup_{t}", f"{out_dir}/rollup_{t}.bak")
-        if os.path.exists(p)
-    ]
-    if leftovers:
+    import glob as _glob
+
+    # scan the WHOLE output dir, not just this run's tier list — a prior
+    # run with a different --tiers set leaves debris too.
+    # .bak => phase 2 started: some tiers may already hold the merged
+    # delta, so replaying would double-merge — refuse until recovered.
+    # .tmp alone => the crash was in phase 1: live tiers are untouched and
+    # the delta safely re-runs; clear the stale tmp and continue.
+    baks = sorted(_glob.glob(f"{out_dir}/rollup_*.bak"))
+    if baks:
         raise SystemExit(
-            "incremental refuses to run over leftover swap state (a prior "
-            f"run died mid-swap): {leftovers} — restore or remove these "
-            "first; re-running the delta blindly would double-merge tiers"
+            "incremental refuses to run over leftover swap backups (a "
+            f"prior run died mid-swap; some tiers may already be merged): "
+            f"{baks} — restore or remove these first; re-running the delta "
+            "blindly would double-merge the already-swapped tiers"
         )
+    for stale in sorted(_glob.glob(f"{out_dir}/.tmp_rollup_*")):
+        print(f"clearing stale phase-1 tmp {stale} (safe: live tiers untouched)")
+        shutil.rmtree(stale)
 
     counts: dict[str, int] = {}
+    persisted_merges: list = []
     delta_tiers = build_tiers(delta_crawl, tiers)
     # persist: each delta tier feeds its own merge AND the next cascade
     # (and the retention anchor re-reads the merged frame) — same
@@ -225,6 +235,7 @@ def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str],
             merged = delta
         if retain:
             merged = merged.persist()  # retention's max-anchor reads it twice
+            persisted_merges.append(merged)
             merged = apply_retention(merged, RETENTION_DEFAULTS.get(t))
         filled = gap_fill(merged, t).withColumn("p_day", F.to_date("bucket_ts"))
         obs = Observation(f"incr_rollup_{t}")
@@ -237,6 +248,8 @@ def process_incremental(spark, delta_crawl, out_dir: str, tiers: list[str],
         counts[f"rollup_{t}"] = int(obs.get["rows"])
         swaps.append((tmp, stored_path))
     for df in delta_tiers.values():
+        df.unpersist()
+    for df in persisted_merges:
         df.unpersist()
     # phase 2: all tiers written durably; swap with backups, then clean up
     # only the baks WE created once every swap has succeeded

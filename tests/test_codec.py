@@ -242,9 +242,9 @@ def test_tier_blobs_lossless_archive_cascades_exactly(spark):
     from yatsm_spark.operators.rollup import cascade, rollup, series_clean
     from yatsm_spark.plans.blobs import decode_tier_blobs, encode_tier_blobs
 
-    stats = ("cnt", "sum_len", "min_len", "max_len")
+    stats = ("cnt", "sum_len", "min_len", "max_len", "sum_ts")  # the default set
     tier = rollup(series_clean(generate_crawl(spark, n_urls=10, span_days=25)), "1h")
-    blobs = encode_tier_blobs(tier, "1h", stats)
+    blobs = encode_tier_blobs(tier, "1h")  # defaults must archive all of the above
     decoded = decode_tier_blobs(blobs, stats)
 
     # 1) bit-exact stat roundtrip

@@ -53,5 +53,5 @@ def test_incremental_refuses_leftover_swap_state(spark, tmp_path):
     out = str(tmp_path / "incr_refuse")
     os.makedirs(f"{out}/rollup_1h.bak", exist_ok=True)
     crawl = generate_crawl(spark, n_urls=3, span_days=3)
-    with pytest.raises(SystemExit, match="leftover swap state"):
+    with pytest.raises(SystemExit, match="leftover swap backups"):
         process_incremental(spark, crawl, out, ["1h"])

@@ -99,3 +99,33 @@ def test_bmp_truncated_falls_back(spark):
     with pytest.raises(Exception, match="NotImplementedError|imaging"):
         decode_image(df, fake=False).collect()
     assert decode_image(df, fake=True).first()["width"] >= 64
+
+
+def test_bmp_8bit_palette_mapped_luma(spark):
+    """8-bit BMP pixels are palette indices: luma must come from the
+    color table, not from the raw index values."""
+    import struct
+
+    import numpy as np
+
+    from yatsm_spark.operators.multimodal import decode_image
+
+    w, h = 6, 4
+    stride = ((w + 3) // 4) * 4
+    # palette: index i -> BGR (inverted grayscale), so index-mean != luma
+    pal = b"".join(struct.pack("<BBBB", 255 - i, 255 - i, 255 - i, 0) for i in range(256))
+    idx = (np.arange(h * stride, dtype=np.uint8).reshape(h, stride) % 16)
+    px = idx[::-1].tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pal) + len(px), 0, 0,
+                         14 + 40 + len(pal))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(px), 2835, 2835, 256, 0)
+    data = header + info + pal + px
+
+    truth_idx = idx[:, :w]
+    truth_luma = round(float((255.0 - truth_idx).mean()) / 255.0, 6)
+    df = spark.createDataFrame([(1, bytearray(data))], "doc_id long, html binary")
+    row = decode_image(df, fake=False).first()
+    assert (row["width"], row["height"], row["n_channels"]) == (w, h, 1)
+    assert abs(row["mean_luma"] - truth_luma) < 1e-9
+    # index-mean would be ~7.5/255 ≈ 0.03 — assert we did NOT do that
+    assert row["mean_luma"] > 0.9

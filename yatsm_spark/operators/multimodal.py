@@ -5,8 +5,8 @@ processed via Arrow-batched ``mapInPandas`` — the same physical pattern as
 the text kernels, so partitioning/batching behavior is identical at 100 TB.
 
 Decode support is tiered by what the environment allows:
-  * **BMP decode is REAL** — uncompressed 24/32-bit BMP needs only
-    header parsing + a numpy view (no imaging library), so
+  * **BMP decode is REAL** — uncompressed 8/24/32-bit BMP needs only
+    header parsing + a numpy view (8-bit: palette-mapped luma), so
     ``_decode_bmp`` genuinely parses dimensions/channels and computes the
     Rec.601 mean luma; ``make_bmp`` synthesizes deterministic test images.
   * Compressed formats (png/jpeg/...) are STUBBED (no PIL/libvips in this
@@ -63,13 +63,13 @@ def media_metadata(df: DataFrame, bin_col: str = "html") -> DataFrame:
 
 
 def _decode_bmp(data: bytes):
-    """REAL decode of uncompressed 24/32-bit BMP — header parse + numpy
-    pixel view, no imaging library required.  Returns None when the bytes
-    are not a decodable BMP (caller falls through to the stub policy).
-    8-bit BMPs are REJECTED rather than half-decoded: their pixels are
-    palette indices, and mean(indices) is not luma unless the palette
-    happens to be identity grayscale — honest fallback beats a silently
-    wrong number."""
+    """REAL decode of uncompressed 8/24/32-bit BMP — header parse + numpy
+    pixel view, no imaging library required.  8-bit pixels are palette
+    INDICES: the color table (BGRA quads after the info header) is parsed
+    and indices map through it, so mean_luma is true luma for arbitrary
+    palettes, not an identity-grayscale assumption.  Returns None when the
+    bytes are not a decodable BMP (caller falls through to the stub
+    policy)."""
     import struct
 
     import numpy as np
@@ -84,7 +84,7 @@ def _decode_bmp(data: bytes):
     h = abs(struct.unpack_from("<i", data, 22)[0])
     bpp = struct.unpack_from("<H", data, 28)[0]
     comp = struct.unpack_from("<I", data, 30)[0]
-    if comp != 0 or bpp not in (24, 32) or w <= 0 or h <= 0:
+    if comp != 0 or bpp not in (8, 24, 32) or w <= 0 or h <= 0:
         return None
     ch = bpp // 8
     stride = ((w * ch + 3) // 4) * 4
@@ -92,10 +92,23 @@ def _decode_bmp(data: bytes):
         return None
     arr = np.frombuffer(data, np.uint8, stride * h, px_off).reshape(h, stride)
     px = arr[:, : w * ch]
-    rgb = px.reshape(h, w, ch).astype(np.float64)  # BGR(A) byte order
-    luma = float(
-        (0.114 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.299 * rgb[..., 2]).mean()
-    ) / 255.0
+    if ch == 1:
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal_off = 14 + hdr_sz
+        if len(data) < pal_off + 4 * n_colors:
+            return None
+        pal = np.frombuffer(data, np.uint8, 4 * n_colors, pal_off).reshape(-1, 4)
+        # per-entry Rec.601 luma; indices map through it
+        lum_table = 0.114 * pal[:, 0] + 0.587 * pal[:, 1] + 0.299 * pal[:, 2]
+        idx = px.reshape(h, w)
+        if int(idx.max()) >= n_colors:
+            return None
+        luma = float(lum_table[idx].mean()) / 255.0
+    else:
+        rgb = px.reshape(h, w, ch).astype(np.float64)  # BGR(A) byte order
+        luma = float(
+            (0.114 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.299 * rgb[..., 2]).mean()
+        ) / 255.0
     return w, h, ch, round(luma, 6)
 
 
@@ -134,9 +147,9 @@ def _decode_image_bytes(data: bytes, fake: bool) -> tuple[int, int, int, float]:
         return bmp
     if not fake:
         raise NotImplementedError(
-            "non-BMP image decode requires an imaging library (PIL/libvips)"
-            " — not installed in this environment; pass fake=True for the "
-            "deterministic stub"
+            "image decode beyond uncompressed BMP requires an imaging "
+            "library (PIL/libvips) — not installed in this environment; "
+            "pass fake=True for the deterministic stub"
         )
     h = hashlib.md5(data).digest()
     width = 64 + h[0] * 4
