@@ -1349,7 +1349,14 @@ def _golden(name: str, cols: str) -> str:
     """Golden-table oracle for deterministic non-SQL-expressible queries:
     the committed fixture parquet (scripts/make_golden_fixtures.py) IS the
     expected output, so the driver's value-hash compare catches any drift
-    in the kernel pipeline — a full-strength check, not rows-only."""
+    in the kernel pipeline.  Because the fixtures are generated by this
+    same implementation they gate REGRESSION/drift, not absolute
+    correctness; the absolute anchors are the hand-derived expected
+    segmentations in tests/test_segmentation.py (planted level shifts at
+    known timestamps, analytically-known segment counts/break locations)
+    and tests/test_ccdc_kernels.py::test_hand_derived_* (closed-form
+    two-segment series checked against pencil-and-paper OLS/monitor
+    arithmetic)."""
     return f"SELECT {cols} FROM '{_FIXTURE_DIR}/{name}.parquet'"
 
 
@@ -1365,6 +1372,12 @@ _CHANGEMAP_GOLDEN = _golden(
     "CAST(last_break AS TIMESTAMP) AS last_break",
 )
 _CLASSIFY_GOLDEN = _golden("ccdc_classify_synth", "url, seg_id, status, predicted_label")
+_MULTIMODAL_GOLDEN = _golden(
+    "multimodal_media_synth",
+    "CAST(doc_id AS BIGINT) AS doc_id, media_kind, CAST(media_bytes AS BIGINT) AS media_bytes, "
+    "CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, "
+    "CAST(n_channels AS INTEGER) AS n_channels",
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1419,11 +1432,12 @@ def oracle_sql() -> dict[str, str]:
         "ccdc_segments_synth": _SEGMENTS_GOLDEN,
         "ccdc_changemap_synth": _CHANGEMAP_GOLDEN,
         "ccdc_classify_synth": _CLASSIFY_GOLDEN,
+        # multimodal: magic sniffing + BMP decode are exact; the fake
+        # decoder for non-BMP rows is seeded-deterministic, so the whole
+        # output is fixture-stable:
+        "multimodal_media_synth": _MULTIMODAL_GOLDEN,
         # approximate-but-DETERMINISTIC ops, fully reproduced in SQL:
         "minhash_lsh_pairs": _MINHASH_LSH,
         "emb_ann_lsh": _emb_ann_lsh_oracle(),
         "emb_ann_ivf": _EMB_ANN_IVF,
-        # rows-only by design:
-        #   multimodal_media_synth — stubbed media decode over synthetic
-        #     binary (deterministic; plumbing-real; no media libs in env).
     }

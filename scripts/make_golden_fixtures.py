@@ -27,7 +27,12 @@ import pyarrow as pa  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402
 
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "fixtures")
-GOLDEN_QUERIES = ("ccdc_segments_synth", "ccdc_changemap_synth", "ccdc_classify_synth")
+GOLDEN_QUERIES = (
+    "ccdc_segments_synth",
+    "ccdc_changemap_synth",
+    "ccdc_classify_synth",
+    "multimodal_media_synth",
+)
 
 
 def main() -> None:

@@ -255,3 +255,122 @@ def test_lowess_screen_in_fit_series():
     assert [(s.start_t, s.end_t, s.status) for s in chunked] == [
         (s.start_t, s.end_t, s.status) for s in segs
     ]
+
+
+# ---- hand-derived anchors: expected outputs follow from the algorithm
+# spec by pencil-and-paper arithmetic, NOT from running this code — the
+# absolute-correctness complement to the self-generated golden fixtures
+# (which only gate drift).
+
+
+def _hand_params():
+    # exact-fit regime: constant series => OLS residuals ~0, monitor
+    # denominator = min_rmse = 1, so every score is |y - level| exactly
+    return CCDCParams(
+        period=7.0,
+        min_span=14.0,
+        min_obs=16,
+        retrain_time=10_000.0,  # no refits: coefficients stay fixed
+        consecutive=5,
+        threshold=3.5,
+        screen="none",
+    )
+
+
+def test_hand_derived_two_segment_break():
+    """y=100 for t<40, 110 after.  Derivation: train on t=0..15 (16 obs
+    spanning 15d >= 14) fits y=100 exactly (rmse 0 -> floor 1); t=16..39
+    score ~0 and absorb; t=40..44 each score 10 > 3.5, the 5th confirms a
+    break at the FIRST of the run (t=40) with magnitude = mean run
+    residual = 10; retrain at t=40 on the 110-level remainder gives one
+    stable segment."""
+    t = np.arange(60, dtype=np.float64)
+    y = np.where(t < 40, 100.0, 110.0)
+    segs = fit_series(t, y, _hand_params())
+    assert [s.status for s in segs] == ["broken", "stable"]
+    s1, s2 = segs
+    assert s1.start_t == 0.0 and s1.end_t == 39.0
+    assert s1.break_t == 40.0
+    assert s1.n_obs == 40
+    assert abs(s1.magnitude - 10.0) < 1e-6
+    assert s2.start_t == 40.0 and s2.end_t == 59.0 and s2.n_obs == 20
+    assert abs(s2.coef[0] - 110.0) < 1e-6 and abs(s2.coef[1]) < 1e-9
+    assert math.isnan(s2.break_t)
+
+
+def test_hand_derived_consecutive_rule():
+    """Exactly `consecutive`-1 exceedances must NOT break; exactly
+    `consecutive` must.  Pins the run-counting semantics bit-for-bit."""
+    t = np.arange(60, dtype=np.float64)
+    y4 = np.where((t >= 40) & (t < 44), 110.0, 100.0)  # 4-long excursion
+    segs4 = fit_series(t, y4, _hand_params())
+    assert [s.status for s in segs4] == ["stable"]
+    assert segs4[0].n_obs == 60
+
+    y5 = np.where((t >= 40) & (t < 45), 110.0, 100.0)  # 5-long excursion
+    segs5 = fit_series(t, y5, _hand_params())
+    assert segs5[0].status == "broken"
+    assert segs5[0].break_t == 40.0
+
+
+# ---- batched K8: bit-identity with the sequential kernel
+
+
+def test_recresid_batch_bit_identical():
+    from yatsm_spark.functions.ccdc import recresid_batch
+
+    rng = np.random.default_rng(99)
+    Xs, ys = [], []
+    for k in range(25):
+        n = int(rng.integers(3, 400))
+        t = np.arange(n, dtype=float) * rng.uniform(0.5, 2.0)
+        X = harmonic_design(t, period=7.0 if k % 2 else 365.25)
+        yv = rng.normal(10, 3, n) + 0.3 * t
+        Xs.append(X)
+        ys.append(yv)
+    batch = recresid_batch(Xs, ys)
+    for b, (X, yv) in zip(batch, zip(Xs, ys)):
+        assert np.array_equal(b, recresid(X, yv))
+
+
+def test_omission_batch_matches_sequential():
+    from yatsm_spark.functions.ccdc import cusum_omission_batch
+
+    rng = np.random.default_rng(5)
+    Xs, ys, expect = [], [], []
+    for k in range(12):
+        n = 120
+        t = np.arange(n, dtype=float)
+        X = harmonic_design(t, period=7.0)
+        yv = 50 + rng.normal(0, 1.0, n)
+        if k % 3 == 0:
+            yv[n // 2 :] += 15.0  # planted omitted break
+        Xs.append(X)
+        ys.append(yv)
+        expect.append(cusum_omission(X, yv, 0.05))
+    assert cusum_omission_batch(Xs, ys, 0.05) == expect
+    assert any(expect) and not all(expect)
+
+
+def test_fit_series_omission_collect_equivalent():
+    """fit_series(omission_collect=...) + cusum_omission_batch must equal
+    the inline omission pass — the contract the segmentation plan's
+    cross-group batching relies on."""
+    from yatsm_spark.functions.ccdc import cusum_omission_batch
+
+    rng = np.random.default_rng(17)
+    p = CCDCParams(
+        period=7.0, min_span=56.0, retrain_time=56.0, omission_alpha=0.05, screen="none"
+    )
+    t = np.arange(300, dtype=np.float64)
+    y = 100 + 5 * np.cos(2 * np.pi * t / 7) + rng.normal(0, 2, 300)
+    y[150:] += 6.0  # sub-threshold drift: no Shewhart break, CUSUM fires
+    inline = fit_series(t, y, p)
+    collect: list = []
+    deferred = fit_series(t, y, p, omission_collect=collect)
+    flags = cusum_omission_batch([x for _, x, _ in collect], [v for _, _, v in collect], 0.05)
+    for (seg, _, _), hit in zip(collect, flags):
+        if hit:
+            seg.status += "+omission"
+    assert [s.status for s in inline] == [s.status for s in deferred]
+    assert any("+omission" in s.status for s in inline)

@@ -278,11 +278,77 @@ def recresid(X: np.ndarray, y: np.ndarray) -> np.ndarray:
     out = np.empty(n - p)
     for i in range(p, n):
         x = X[i]
-        denom = 1.0 + x @ XtX_inv @ x
-        out[i - p] = (y[i] - x @ beta) / math.sqrt(denom)
-        # rank-1 update of (X'X)^-1 and beta
-        XtX_inv -= np.outer(XtX_inv @ x, x @ XtX_inv) / denom
-        beta += XtX_inv @ x * (y[i] - x @ beta)
+        xP = x @ XtX_inv
+        Px = XtX_inv @ x
+        denom = 1.0 + xP @ x
+        e = y[i] - x @ beta
+        out[i - p] = e / math.sqrt(denom)
+        XtX_inv -= np.outer(Px, xP) / denom
+        # beta MUST use the stored updated inverse (not the algebraic
+        # shortcut Px/denom): under an ill-conditioned start the stored
+        # XtX_inv and its exact-arithmetic value diverge by cancellation,
+        # and only the coupled update keeps beta consistent with XtX_inv
+        # (verified: the shortcut drifts ~4.0 from the definitional
+        # residuals on a cond~1e13 harmonic start; this form stays <6e-6).
+        beta += XtX_inv @ x * e
+    return out
+
+
+def recresid_batch(Xs: list[np.ndarray], ys: list[np.ndarray]) -> list[np.ndarray]:
+    """Step-synchronized :func:`recresid` over MANY segments at once.
+
+    Same per-step Sherman-Morrison algebra, but every matvec/outer runs as
+    one stacked ``np.matmul`` across all still-active segments — the
+    per-step Python overhead (the sequential loop's real cost at p=4) is
+    amortized over the batch.  Bit-identical to the sequential kernel on
+    stacked BLAS (pinned by tests/test_ccdc_kernels.py): stacked dgemv
+    accumulates in the same order as the per-segment call.
+
+    Segments must share one design width p.  Returns results in input
+    order; segments with n <= p get an empty array, exactly as recresid.
+    """
+    m = len(Xs)
+    if m == 0:
+        return []
+    p = Xs[0].shape[1]
+    ns = np.array([X.shape[0] for X in Xs])
+    out: list[np.ndarray] = [np.empty(0)] * m
+    live = np.flatnonzero(ns > p)
+    if live.size == 0:
+        return out
+    if live.size == 1:
+        si = int(live[0])
+        out[si] = recresid(Xs[si], ys[si])
+        return out
+    # longest-first so the per-step active set is always a prefix
+    order = live[np.argsort(-ns[live], kind="stable")]
+    sn = ns[order]
+    nmax = int(sn[0])
+    Xp = np.zeros((order.size, nmax, p))
+    yp = np.zeros((order.size, nmax))
+    for bi, si in enumerate(order):
+        Xp[bi, : ns[si]] = np.asarray(Xs[si], dtype=np.float64)
+        yp[bi, : ns[si]] = np.asarray(ys[si], dtype=np.float64)
+    X0 = Xp[:, :p, :]
+    X0t = np.swapaxes(X0, 1, 2)
+    P = np.linalg.pinv(np.matmul(X0t, X0))
+    beta = np.matmul(P, np.matmul(X0t, yp[:, :p, None]))[:, :, 0]
+    w = np.empty((order.size, nmax - p))
+    for i in range(p, nmax):
+        ba = int((sn > i).sum())
+        if ba == 0:
+            break
+        x = Xp[:ba, i, :]
+        Pa = P[:ba]
+        xP = np.matmul(x[:, None, :], Pa)[:, 0, :]
+        Px = np.matmul(Pa, x[:, :, None])[:, :, 0]
+        denom = 1.0 + np.matmul(xP[:, None, :], x[:, :, None])[:, 0, 0]
+        e = yp[:ba, i] - np.matmul(x[:, None, :], beta[:ba, :, None])[:, 0, 0]
+        w[:ba, i - p] = e / np.sqrt(denom)
+        P[:ba] = Pa - Px[:, :, None] * xP[:, None, :] / denom[:, None, None]
+        beta[:ba] += np.matmul(P[:ba], x[:, :, None])[:, :, 0] * e[:, None]
+    for bi, si in enumerate(order):
+        out[si] = w[bi, : ns[si] - p].copy()
     return out
 
 
@@ -290,11 +356,8 @@ def recresid(X: np.ndarray, y: np.ndarray) -> np.ndarray:
 _CUSUM_CRIT = {0.10: 0.850, 0.05: 0.948, 0.01: 1.143}
 
 
-def cusum_omission(X: np.ndarray, y: np.ndarray, alpha: float = 0.05) -> bool:
-    """K8: CUSUM-of-recursive-residuals structural-break test.  True if the
-    cumulative sum crosses the BDE boundary a*sqrt(n)*(1 + 2*i/n) — i.e. an
-    omitted break exists inside the segment."""
-    w = recresid(X, y)
+def _cusum_crosses(w: np.ndarray, alpha: float) -> bool:
+    """BDE boundary check on precomputed recursive residuals."""
     m = w.size
     if m < 4:
         return False
@@ -306,6 +369,20 @@ def cusum_omission(X: np.ndarray, y: np.ndarray, alpha: float = 0.05) -> bool:
     i = np.arange(1, m + 1)
     bound = crit * (1.0 + 2.0 * i / m)
     return bool(np.any(np.abs(s) > bound))
+
+
+def cusum_omission(X: np.ndarray, y: np.ndarray, alpha: float = 0.05) -> bool:
+    """K8: CUSUM-of-recursive-residuals structural-break test.  True if the
+    cumulative sum crosses the BDE boundary a*sqrt(n)*(1 + 2*i/n) — i.e. an
+    omitted break exists inside the segment."""
+    return _cusum_crosses(recresid(X, y), alpha)
+
+
+def cusum_omission_batch(
+    Xs: list[np.ndarray], ys: list[np.ndarray], alpha: float = 0.05
+) -> list[bool]:
+    """Batched K8 over many segments (one recresid_batch sweep)."""
+    return [_cusum_crosses(w, alpha) for w in recresid_batch(Xs, ys)]
 
 
 # -------------------------------------------------------- F-distribution K9
@@ -453,9 +530,19 @@ class _Fit:
 
 
 def fit_series(
-    t: np.ndarray, y: np.ndarray, params: CCDCParams = CCDCParams()
+    t: np.ndarray,
+    y: np.ndarray,
+    params: CCDCParams = CCDCParams(),
+    omission_collect: list | None = None,
 ) -> list[Segment]:
     """K5+K6: full CCDC loop over one (already time-sorted) series.
+
+    ``omission_collect``: when given (and omission_alpha > 0), the K8
+    omission tests are NOT run inline; instead ``(segment, X_slice,
+    y_slice)`` tuples are appended for the caller to score in one
+    :func:`cusum_omission_batch` sweep across many series — the plan-level
+    batching that amortizes the recursive-residual loop (the kernel
+    stack's hottest path at realistic series lengths).
 
     train: slide the window start until the first ``min_obs`` observations
     are stable (|slope|·span/rmse and edge residuals below threshold);
@@ -554,32 +641,44 @@ def fit_series(
 
         fit = _Fit(coef=coef, rmse=max(rmse(y[i:j] - X[i:j] @ coef), params.min_rmse))
         last_refit_t = t[j - 1]
-        consec = 0
-        run_resid: list[float] = []
+        run_resid = np.zeros(0)
         break_idx = -1
 
-        # ---- K6 monitor
+        # ---- K6 monitor (chunk-vectorized).  Between refits the
+        # coefficients are FIXED, so the whole remaining block is scored
+        # with one matvec and the `consecutive` trigger becomes a
+        # run-length scan over the boolean exceedance vector.  Event order
+        # is exact vs the per-point loop: a refit can only happen at a
+        # NON-exceeding point (which also zeroes the run counter), a break
+        # run is all-exceeding, so the two cannot coincide — whichever has
+        # the smaller index is the block's one event, and the loop
+        # re-enters after it with fresh state.
         k = j
         while k < n:
-            pred = X[k] @ fit.coef
-            resid_k = y[k] - pred
-            score = abs(resid_k) / max(fit.rmse, params.min_rmse)
-            if score > params.threshold:
-                consec += 1
-                run_resid.append(resid_k)
-                if consec >= params.consecutive:
-                    break_idx = k - params.consecutive + 1
-                    break
-            else:
-                consec = 0
-                run_resid.clear()
-                # absorb obs; refit on retrain cadence
-                if t[k] - last_refit_t >= params.retrain_time:
-                    coef2, *_ = np.linalg.lstsq(X[i : k + 1], y[i : k + 1], rcond=None)
-                    fit.coef = coef2
-                    fit.rmse = max(rmse(y[i : k + 1] - X[i : k + 1] @ coef2), params.min_rmse)
-                    last_refit_t = t[k]
-            k += 1
+            resid_blk = y[k:n] - X[k:n] @ fit.coef
+            scores = np.abs(resid_blk) / max(fit.rmse, params.min_rmse)
+            exceed = scores > params.threshold
+            pos = np.arange(exceed.size)
+            last_ok = np.maximum.accumulate(np.where(~exceed, pos, -1))
+            run_hits = np.flatnonzero(pos - last_ok >= params.consecutive)
+            refit_hits = np.flatnonzero(
+                ~exceed & (t[k:n] - last_refit_t >= params.retrain_time)
+            )
+            b = int(run_hits[0]) if run_hits.size else exceed.size
+            r = int(refit_hits[0]) if refit_hits.size else exceed.size
+            if b < r:  # break confirmed before any refit point
+                break_idx = k + b - params.consecutive + 1
+                run_resid = resid_blk[b - params.consecutive + 1 : b + 1]
+                break
+            if r < exceed.size:  # refit on retrain cadence, then rescore
+                ka = k + r
+                coef2, *_ = np.linalg.lstsq(X[i : ka + 1], y[i : ka + 1], rcond=None)
+                fit.coef = coef2
+                fit.rmse = max(rmse(y[i : ka + 1] - X[i : ka + 1] @ coef2), params.min_rmse)
+                last_refit_t = t[ka]
+                k = ka + 1
+                continue
+            k = n  # absorbed the rest: no break, no further refit
 
         if break_idx >= 0:
             seg_end = break_idx  # segment covers [i, break_idx)
@@ -634,8 +733,11 @@ def fit_series(
     if params.omission_alpha > 0:
         for seg in segments:
             m = (t >= seg.start_t) & (t <= seg.end_t)
-            if m.sum() > X.shape[1] + 4 and cusum_omission(X[m], y[m], params.omission_alpha):
-                seg.status = seg.status + "+omission"
+            if m.sum() > X.shape[1] + 4:
+                if omission_collect is not None:
+                    omission_collect.append((seg, X[m], y[m]))
+                elif cusum_omission(X[m], y[m], params.omission_alpha):
+                    seg.status = seg.status + "+omission"
 
     return segments
 
@@ -673,6 +775,7 @@ def fit_series_chunked(
     y: np.ndarray,
     params: CCDCParams = CCDCParams(),
     chunk_rows: int = 50_000,
+    omission_collect: list | None = None,
 ) -> list[Segment]:
     """Split-and-stitch :func:`fit_series` for giant series — EXACT results
     with bounded per-fit work (SURVEY.md §4.2's "one genuinely custom
@@ -700,14 +803,14 @@ def fit_series_chunked(
     order = np.argsort(t, kind="stable")
     t, y = t[order], y[order]
     if t.size <= chunk_rows:
-        return fit_series(t, y, params)
+        return fit_series(t, y, params, omission_collect=omission_collect)
     if np.any(np.diff(t) <= 0):
         # duplicate/zero-gap timestamps break the break_t -> index mapping
         # the stitch relies on (searchsorted could fail to advance and the
         # loop would re-fit the same window forever).  The exactness
         # contract only holds for strictly increasing series; fall back to
         # the single-pass fit rather than risk non-termination.
-        return fit_series(t, y, params)
+        return fit_series(t, y, params, omission_collect=omission_collect)
 
     base = params
     if base.screen in ("mad", "lowess"):
@@ -760,8 +863,9 @@ def fit_series_chunked(
         if params.omission_alpha > 0:
             for seg in segments:
                 m = (t >= seg.start_t) & (t <= seg.end_t)
-                if m.sum() > X.shape[1] + 4 and cusum_omission(
-                    X[m], y[m], params.omission_alpha
-                ):
-                    seg.status = seg.status + "+omission"
+                if m.sum() > X.shape[1] + 4:
+                    if omission_collect is not None:
+                        omission_collect.append((seg, X[m], y[m]))
+                    elif cusum_omission(X[m], y[m], params.omission_alpha):
+                        seg.status = seg.status + "+omission"
     return segments

@@ -46,10 +46,14 @@ def _days_to_ts(days: float):
     return pd.Timestamp(round(days * _SECONDS_PER_DAY * 1e6), unit="us")
 
 
-def make_segmenter(params: CCDCParams, ts_col: str, value_col: str, max_group_rows: int = 50_000):
-    """Build the per-group pandas function (closure keeps params picklable)."""
+def _make_fit_and_rows(
+    params: CCDCParams, ts_col: str, value_col: str, max_group_rows: int = 50_000
+):
+    """The two halves of per-group segmentation: fit (kernels) and
+    row-building.  Split so the partition runner can batch the K8 omission
+    tests ACROSS groups between the halves."""
 
-    def segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit_group(pdf: pd.DataFrame, collect: list | None = None):
         url = pdf["url"].iloc[0]
         pdf = pdf.sort_values(ts_col, kind="mergesort")
         t = pdf[ts_col].astype("int64").to_numpy() / 1e9 / _SECONDS_PER_DAY
@@ -59,10 +63,14 @@ def make_segmenter(params: CCDCParams, ts_col: str, value_col: str, max_group_ro
         # windows of max_group_rows, committing only break-confirmed
         # segments and re-fitting from the last break — EXACTLY equal to
         # the single-pass fit (see fit_series_chunked), no downsampling
-        segs = fit_series_chunked(t[ok], y[ok], params, chunk_rows=max_group_rows)
+        segs = fit_series_chunked(
+            t[ok], y[ok], params, chunk_rows=max_group_rows, omission_collect=collect
+        )
+        return url, segs
+
+    def rows_for(url, segs) -> pd.DataFrame:
         rows = []
         for sid, s in enumerate(segs):
-            status = s.status
             rows.append(
                 {
                     "url": url,
@@ -74,7 +82,7 @@ def make_segmenter(params: CCDCParams, ts_col: str, value_col: str, max_group_ro
                     "coef": [float(c) for c in s.coef],
                     "rmse": None if math.isnan(s.rmse) else float(s.rmse),
                     "magnitude": None if math.isnan(s.magnitude) else float(s.magnitude),
-                    "status": status,
+                    "status": s.status,
                 }
             )
         out = pd.DataFrame(rows)
@@ -86,6 +94,16 @@ def make_segmenter(params: CCDCParams, ts_col: str, value_col: str, max_group_ro
             for c in ("start_ts", "end_ts", "break_ts"):
                 out[c] = pd.to_datetime(out[c])
         return out
+
+    return fit_group, rows_for
+
+
+def make_segmenter(params: CCDCParams, ts_col: str, value_col: str, max_group_rows: int = 50_000):
+    """Build the per-group pandas function (closure keeps params picklable)."""
+    fit_group, rows_for = _make_fit_and_rows(params, ts_col, value_col, max_group_rows)
+
+    def segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return rows_for(*fit_group(pdf))
 
     return segment_group
 
@@ -119,7 +137,32 @@ def segment_series(
         )
         ts_col = "_obs_ts"
     src = src.select("url", ts_col, value_col)
-    segmenter = make_segmenter(params, ts_col, value_col, max_group_rows)
+    fit_group, rows_for = _make_fit_and_rows(params, ts_col, value_col, max_group_rows)
+    batch_omission = params.omission_alpha > 0
+
+    def flush_block(pdf_block: pd.DataFrame) -> pd.DataFrame | None:
+        # fit every group in the block first, batching the K8 omission
+        # tests across ALL groups' segments: one recresid_batch sweep
+        # amortizes the sequential recursive-residual loop (the kernel
+        # stack's hottest path — cusum was ~47% of fit wall at realistic
+        # series lengths) over the whole Arrow batch.  Bit-identical to
+        # per-segment scoring (pinned by tests).
+        collect: list | None = [] if batch_omission else None
+        fitted = [fit_group(g, collect) for _, g in pdf_block.groupby("url", sort=False)]
+        if collect:
+            from yatsm_spark.functions.ccdc import cusum_omission_batch
+
+            flags = cusum_omission_batch(
+                [x for _, x, _ in collect],
+                [yv for _, _, yv in collect],
+                params.omission_alpha,
+            )
+            for (seg, _, _), hit in zip(collect, flags):
+                if hit:
+                    seg.status = seg.status + "+omission"
+        frames = [rows_for(u, s) for u, s in fitted]
+        frames = [f for f in frames if not f.empty]
+        return pd.concat(frames, ignore_index=True) if frames else None
 
     def segment_partition(batches):
         # partition-batched grouped map (same pattern as plans/blobs.py):
@@ -134,13 +177,13 @@ def segment_series(
             last_url = pdf["url"].iloc[-1]
             tail = pdf["url"].to_numpy() == last_url
             complete, pending = pdf[~tail], pdf[tail]
-            frames = [segmenter(g) for _, g in complete.groupby("url", sort=False)]
-            frames = [f for f in frames if not f.empty]
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not complete.empty:
+                out = flush_block(complete)
+                if out is not None:
+                    yield out
         if pending is not None and not pending.empty:
-            out = segmenter(pending)
-            if not out.empty:
+            out = flush_block(pending)
+            if out is not None:
                 yield out
 
     if presorted:
