@@ -121,12 +121,20 @@ def _q_retention_1h(spark, sf):
 def _q_incr_merge_1h(spark, sf):
     """Incremental-maintenance algebra, oracle-gated: two partial rollups
     split MID-BUCKET are merged (cnt/sum add, min/max combine, mean
-    re-derives) — the oracle is the plain full rollup, so the hash check
-    proves merge(rollup(old), rollup(delta)) == rollup(all)."""
-    ev = _t(spark, sf, "events")
+    re-derives) — the oracle is the one-shot full rollup of the same
+    values, so the hash check proves merge(rollup(old), rollup(delta)) ==
+    rollup(all).  The gate runs on INTEGER-scaled values (x1e4): integer
+    sums are order-exact below 2^53, so the merge is genuinely
+    associative — float partial sums are only associative-up-to-ulp and
+    could flip the 4-dp rounding on near-half values; the mean uses the
+    (2s+c) div (2c) integer round-half-up, immune to engine-specific
+    float rounding of exact halves."""
+    ev = _t(spark, sf, "events").withColumn(
+        "iv", F.round(F.col("value") * 10000).cast("long")
+    )
     cut = F.lit("2024-01-15 09:30:00").cast("timestamp")
-    t_old = rollup_series(ev.filter(F.col("ts") < cut), "1h", ("user_id",), "ts", "value")
-    t_new = rollup_series(ev.filter(F.col("ts") >= cut), "1h", ("user_id",), "ts", "value")
+    t_old = rollup_series(ev.filter(F.col("ts") < cut), "1h", ("user_id",), "ts", "iv")
+    t_new = rollup_series(ev.filter(F.col("ts") >= cut), "1h", ("user_id",), "ts", "iv")
     merged = (
         t_old.unionByName(t_new)
         .groupBy("user_id", "bucket_ts")
@@ -136,10 +144,16 @@ def _q_incr_merge_1h(spark, sf):
             F.min("min_val").alias("min_val"),
             F.max("max_val").alias("max_val"),
         )
-        .withColumn("mean_val", F.col("sum_val") / F.col("cnt"))
-        .select("user_id", "bucket_ts", "cnt", "sum_val", "mean_val", "min_val", "max_val")
     )
-    return _finish_tier(merged)
+    return merged.select(
+        "user_id",
+        "bucket_ts",
+        "cnt",
+        F.col("sum_val").cast("long").alias("sum_x1e4"),
+        F.expr("(2 * CAST(sum_val AS BIGINT) + cnt) div (2 * cnt)").alias("mean_x1e4"),
+        F.col("min_val").cast("long").alias("min_x1e4"),
+        F.col("max_val").cast("long").alias("max_x1e4"),
+    )
 
 
 def _q_gap_fill_1h(spark, sf):
@@ -470,13 +484,21 @@ def _q_url_canonicalize(spark, sf):
     from yatsm_spark.functions.textops import canonicalize_url
 
     c = _t(spark, sf, "customer")
-    raw = F.when(
-        F.col("c_custkey") % 2 == 0,
-        F.concat(F.lit("HTTPS://Shop.Example.COM:443/c/"), F.col("c_custkey"),
-                 F.lit("?utm_src=news&b=2&a=1#frag")),
-    ).otherwise(
-        F.concat(F.lit("http://shop.example.com:80/c/"), F.col("c_custkey"),
-                 F.lit("?a=1&b=2")),
+    raw = (
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            # schemeless: must pass through unchanged (the guard contract)
+            F.concat(F.lit("shop.example.com/c/"), F.col("c_custkey")),
+        )
+        .when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(F.lit("HTTPS://Shop.Example.COM:443/c/"), F.col("c_custkey"),
+                     F.lit("?utm_src=news&b=2&a=1#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://shop.example.com:80/c/"), F.col("c_custkey"),
+                     F.lit("?a=1&b=2")),
+        )
     )
     return c.select(
         "c_custkey", canonicalize_url(raw).alias("canon_url")
@@ -617,7 +639,7 @@ def _q_ann_lsh(spark, sf):
 
 def _q_ann_ivf(spark, sf):
     """IVF-flat ANN (inverted-file cells + n_probe search) — HASH-CHECKED:
-    the deterministic coarse quantizer (lowest-id seed vectors) and
+    the deterministic coarse quantizer (hash-stratified seed sample) and
     round-before-compare sims make the full pipeline SQL-reproducible."""
     from yatsm_spark.operators.similarity import ivf_topk
 
@@ -772,6 +794,16 @@ SELECT user_id, {_H} AS bucket_ts, count(*) AS cnt,
        round((round(sum(value),4)+0)/count(*),4)+0 AS mean_val,
        round(min(value),4)+0 AS min_val, round(max(value),4)+0 AS max_val
 FROM events GROUP BY 1, 2
+"""
+
+_INCR_MERGE_1H = f"""
+WITH e AS (
+  SELECT user_id, ts, CAST(round(value * 10000, 0) AS BIGINT) AS iv FROM events)
+SELECT user_id, {_H} AS bucket_ts, count(*) AS cnt,
+       CAST(sum(iv) AS BIGINT) AS sum_x1e4,
+       CAST((2 * sum(iv) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_x1e4,
+       CAST(min(iv) AS BIGINT) AS min_x1e4, CAST(max(iv) AS BIGINT) AS max_x1e4
+FROM e GROUP BY 1, 2
 """
 
 _RETENTION_1H = f"""
@@ -1192,7 +1224,8 @@ _CS = (
 
 _EMB_ANN_IVF = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+c AS (SELECT vec_id AS cid, e AS ce FROM v
+      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT, vec_id LIMIT 16),
 vs AS (
   SELECT v.vec_id AS n_id, v.e AS nv, c.cid,
          {_CS.format(a='v.e', b='c.ce')} AS csim
@@ -1268,7 +1301,9 @@ FROM h
 _URL_CANON = """
 WITH raw AS (
   SELECT c_custkey,
-         CASE WHEN c_custkey % 2 = 0
+         CASE WHEN c_custkey % 7 = 0
+              THEN 'shop.example.com/c/' || c_custkey
+              WHEN c_custkey % 2 = 0
               THEN 'HTTPS://Shop.Example.COM:443/c/' || c_custkey || '?utm_src=news&b=2&a=1#frag'
               ELSE 'http://shop.example.com:80/c/' || c_custkey || '?a=1&b=2' END AS u
   FROM customer),
@@ -1280,7 +1315,7 @@ parts AS (
          regexp_extract(u, '\?([^#]*)', 1) AS query
   FROM raw),
 norm AS (
-  SELECT c_custkey, scheme,
+  SELECT c_custkey, u, scheme,
          CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
               WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
               ELSE hostport END AS host,
@@ -1289,8 +1324,9 @@ norm AS (
              p -> p != '' AND NOT starts_with(p, 'utm_'))), '&') AS qs
   FROM parts)
 SELECT c_custkey,
-       scheme || '://' || host || path ||
-       CASE WHEN qs != '' THEN '?' || qs ELSE '' END AS canon_url
+       CASE WHEN scheme = '' THEN u
+            ELSE scheme || '://' || host || path ||
+                 CASE WHEN qs != '' THEN '?' || qs ELSE '' END END AS canon_url
 FROM norm
 """
 
@@ -1387,8 +1423,9 @@ def oracle_sql() -> dict[str, str]:
         "cascade_30d": _CASCADE_30D,
         "retention_1h": _RETENTION_1H,
         # the merged-partial-rollups query must equal the FULL rollup —
-        # the strongest possible oracle for the incremental algebra:
-        "incr_merge_1h": _ROLLUP_1H,
+        # the strongest possible oracle for the incremental algebra
+        # (integer-scaled so the equality is exact, not up-to-ulp):
+        "incr_merge_1h": _INCR_MERGE_1H,
         "gap_fill_1h": _GAP_FILL_1H,
         "locf_1h": _LOCF_1H,
         "percentile_daily": _PERCENTILE_DAILY,

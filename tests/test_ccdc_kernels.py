@@ -374,3 +374,37 @@ def test_fit_series_omission_collect_equivalent():
             seg.status += "+omission"
     assert [s.status for s in inline] == [s.status for s in deferred]
     assert any("+omission" in s.status for s in inline)
+
+
+def test_lowess_screen_blocked_linear_on_long_series():
+    """Giant-series guard: the blocked screen must (a) agree with the
+    unblocked screen at n <= block (exact), (b) still drop planted spikes
+    and keep a genuine level shift on a series several blocks long, and
+    (c) run in time linear in n (a global fit would be O(n^2*frac) —
+    ~minutes at this size)."""
+    import time
+
+    from yatsm_spark.functions.ccdc import lowess_screen
+
+    rng = np.random.default_rng(11)
+    # (a) exactness at small n: block larger than the series
+    t_s = np.arange(500, dtype=np.float64)
+    y_s = 50 + 0.1 * t_s + rng.normal(0, 1, 500)
+    assert np.array_equal(
+        lowess_screen(t_s, y_s, 3.5, block=4096), lowess_screen(t_s, y_s, 3.5, block=10**9)
+    )
+    # (b)+(c) behavior and wall on a 20k series (5 blocks)
+    n = 20_000
+    t = np.arange(n, dtype=np.float64)
+    y = 100 + 10 * np.cos(2 * np.pi * t / 7) + rng.normal(0, 1, n)
+    y[n // 2 :] += 30  # level shift: must stay IN
+    spikes = rng.choice(n, 40, replace=False)
+    y[spikes] += 500  # spikes: must go OUT
+    t0 = time.perf_counter()
+    keep = lowess_screen(t, y, 3.5)
+    wall = time.perf_counter() - t0
+    assert wall < 30.0, f"blocked screen took {wall:.1f}s — not linear"
+    assert not keep[spikes].any()
+    shift_zone = np.ones(n, dtype=bool)
+    shift_zone[spikes] = False
+    assert keep[shift_zone].mean() > 0.95  # shift + normal points kept

@@ -125,22 +125,25 @@ def test_lsh_neardup_plan_has_no_nested_loop_join(vectors):
     assert "CartesianProduct" not in plan
 
 
-def test_ivf_topk_finds_same_cell_neighbor(vectors):
-    """IVF with the 2 lowest-id seed centroids (vecs 0 and 1 — each its
-    own cell).  n_probe=1: query 0 sees only cell 0 = {0, 3} -> neighbor 3.
-    n_probe=2: both cells searched -> exact answer (1 first), matching
-    brute force."""
+def test_ivf_topk_probes_limit_search(vectors):
+    """IVF with 2 hash-stratified seed centroids.  md5-hash order of ids
+    0..4 is [4, 1, 2, 0, 3], so the seeds are vecs 4 ([-1,0,0]) and 1
+    ([.9,.1,0]); cells: {4} and {0,1,2,3} (vec 3 ties 0.0/0.0 and takes
+    the LOWEST cid, 1).  n_probe=1: query 4 probes only its own
+    singleton cell -> no neighbors.  n_probe=2: the other cell is
+    searched too -> [2, 3] (both sim 0.0, id tie-break; 0/1 are
+    antipodal)."""
     from yatsm_spark.operators.similarity import ivf_topk
 
     out1 = ivf_topk(
-        vectors, vectors.filter(F.col("vec_id") == 0), k=2, n_cells=2, n_probe=1
+        vectors, vectors.filter(F.col("vec_id") == 4), k=2, n_cells=2, n_probe=1
     ).collect()
-    assert [r["n_id"] for r in out1] == [3]  # cell 0 holds only {0, 3}
+    assert out1 == []  # own cell holds nothing else
     out = ivf_topk(
-        vectors, vectors.filter(F.col("vec_id") == 0), k=2, n_cells=2, n_probe=2
+        vectors, vectors.filter(F.col("vec_id") == 4), k=2, n_cells=2, n_probe=2
     )
     rows = sorted(out.collect(), key=lambda r: r["rank"])
-    assert [r["n_id"] for r in rows] == [1, 2]  # == brute_topk order
+    assert [r["n_id"] for r in rows] == [2, 3]
     # the scoring join (post-probe) is keyed on cell: no all-pairs scan of
     # vectors x queries anywhere after the tiny centroid broadcast (AQE
     # plan strings repeat initial+final plans; inspect the final one only)
@@ -148,6 +151,66 @@ def test_ivf_topk_finds_same_cell_neighbor(vectors):
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final
     assert final.count("BroadcastNestedLoopJoin") <= 2  # the two K-row centroid crossJoins
+
+
+def test_ivf_topk_string_ids(spark):
+    """id_col is a general parameter: string ids must work end-to-end
+    (the cell tie-break orders on (-csim, cid) structs, no arithmetic on
+    the id)."""
+    from yatsm_spark.operators.similarity import ivf_topk
+
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.9, 0.1]),
+        ("c", [0.0, 1.0]),
+        ("d", [-1.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = ivf_topk(df, df.filter(F.col("vec_id") == "a"), k=2, n_cells=2, n_probe=2)
+    got = [r["n_id"] for r in sorted(out.collect(), key=lambda r: r["rank"])]
+    assert got[0] == "b"
+
+
+def test_ivf_cell_population_skew_bounded(spark):
+    """Hash-stratified seeds must spread cells over the data distribution:
+    on the sf0.01 embeddings table (500 vecs, 16 cells) no cell may hold
+    more than ~6x the mean population, and most cells must be non-empty —
+    the skew contract that keeps the cell-keyed shuffle balanced at real
+    N (lowest-id seeding gave no such guarantee)."""
+    import os
+
+    from yatsm_spark.operators.similarity import _hyperplanes  # noqa: F401  (import sanity)
+    from yatsm_spark.operators.similarity import cosine_sim_col, ivf_topk  # noqa: F401
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    n_cells = 16
+    # reproduce the assignment stage exactly as ivf_topk builds it
+    seed_hash = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    cents = (
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_vec"),
+                   seed_hash.alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col("cid").asc())
+        .limit(n_cells)
+        .drop("_h")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cosine_sim_col(F.col("n_vec"), F.col("c_vec")), 6))
+    )
+    assign = (
+        scored.groupBy("n_id")
+        .agg(F.min(F.struct((-F.col("csim")).alias("nsim"), F.col("cid"))).alias("_s"))
+        .select(F.col("_s.cid").alias("cell"))
+    )
+    pops = [r["cnt"] for r in assign.groupBy("cell").agg(F.count("*").alias("cnt")).collect()]
+    n_vecs = sum(pops)
+    mean = n_vecs / n_cells
+    assert len(pops) >= n_cells * 3 // 4  # most cells populated
+    assert max(pops) <= 6 * mean, f"hot cell {max(pops)} vs mean {mean:.1f}"
 
 
 def test_canonicalize_url_collapses_variants(spark):
@@ -162,12 +225,17 @@ def test_canonicalize_url_collapses_variants(spark):
         (3, "http://x.example.com/a?a=1&b=2&utm_c=z"),  # tracking param
         (4, "http://x.example.com/"),
         (5, "http://x.example.com"),                   # empty path -> '/'
+        (6, "x.example.com/a?a=1"),                    # schemeless
+        (7, "not a url at all"),                       # unparseable
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     got = {r["id"]: r["c"] for r in df.select("id", canonicalize_url("url").alias("c")).collect()}
     assert got[0] == got[1] == got[3] == "http://x.example.com/a?a=1&b=2"
     assert got[2] == "https://x.example.com/a?a=1&b=2"
     assert got[4] == got[5] == "http://x.example.com/"
+    # schemeless / unparseable inputs pass through unchanged — they must
+    # NOT collapse onto a shared fabricated '://' key
+    assert got[6] == "x.example.com/a?a=1" and got[7] == "not a url at all"
     # idempotency: canonical output is a fixed point
     twice = {
         r["id"]: r["c2"]

@@ -186,7 +186,7 @@ def mad_screen(y: np.ndarray, crit: float = 3.5) -> np.ndarray:
 
 
 def lowess(
-    t: np.ndarray, y: np.ndarray, frac: float = 0.3, it: int = 2
+    t: np.ndarray, y: np.ndarray, frac: float = 0.3, it: int = 2, k: int | None = None
 ) -> np.ndarray:
     """F5: LOWESS (Cleveland 1979) — locally weighted linear regression
     with tricube kernel weights and ``it`` robustifying iterations
@@ -204,7 +204,9 @@ def lowess(
     n = t.size
     if n < 3:
         return y.copy()
-    k = min(n, max(2, int(math.ceil(frac * n))))
+    # explicit k overrides the frac-derived window (the blocked screen
+    # passes a fixed k so the smoothing span is slice-length-independent)
+    k = min(n, max(2, int(math.ceil(frac * n)) if k is None else k))
     order = np.argsort(t, kind="stable")
     ts, ys = t[order], y[order]
     fitted_s = np.empty(n)
@@ -243,19 +245,50 @@ def lowess(
     return fitted
 
 
+LOWESS_BLOCK = 4096
+
+
 def lowess_screen(
-    t: np.ndarray, y: np.ndarray, crit: float = 3.5, frac: float = 0.3
+    t: np.ndarray,
+    y: np.ndarray,
+    crit: float = 3.5,
+    frac: float = 0.3,
+    block: int = LOWESS_BLOCK,
 ) -> np.ndarray:
     """F5 as a screen: drop observations farther than ``crit`` robust
     sigmas from the LOWESS curve — the reference's multitemporal cloud/
     shadow screen family, trend-following where the MAD screen is
     location-only (a genuine level shift stays IN, a spike goes OUT).
-    Returns a boolean KEEP mask."""
-    if t.size < 8:
-        return np.ones(t.size, dtype=bool)
-    resid = y - lowess(t, y, frac=frac)
-    sigma = 1.4826 * np.median(np.abs(resid - np.median(resid))) + _EPS
-    return np.abs(resid) <= crit * sigma
+    Returns a boolean KEEP mask.
+
+    Series longer than ``block`` are smoothed on FIXED index blocks with
+    an overlap of one window (window size pinned to ceil(frac*block)),
+    so total work is O(n * frac * block) — linear in n — instead of the
+    O(n^2 * frac) a single global fit costs; the bounded-per-fit-work
+    guarantee of the chunked giant-series path is preserved.  Block
+    boundaries are index-deterministic and independent of where the
+    chunked fitter splits, so single-pass and chunked fits see the
+    identical mask (the robust sigma stays GLOBAL over all residuals).
+    For n <= block this is exactly the unblocked screen."""
+    n = t.size
+    if n < 8:
+        return np.ones(n, dtype=bool)
+    order = np.argsort(t, kind="stable")
+    ts, ys = t[order], y[order]
+    if n <= block:
+        resid_s = ys - lowess(ts, ys, frac=frac)
+    else:
+        kw = int(math.ceil(frac * block))
+        resid_s = np.empty(n)
+        for s in range(0, n, block):
+            e = min(n, s + block)
+            lo, hi = max(0, s - kw), min(n, e + kw)
+            sm = lowess(ts[lo:hi], ys[lo:hi], frac=frac, k=kw)
+            resid_s[s:e] = ys[s:e] - sm[s - lo : e - lo]
+    sigma = 1.4826 * np.median(np.abs(resid_s - np.median(resid_s))) + _EPS
+    keep = np.empty(n, dtype=bool)
+    keep[order] = np.abs(resid_s) <= crit * sigma
+    return keep
 
 
 # --------------------------------------------------- recursive residuals K8

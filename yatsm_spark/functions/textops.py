@@ -234,13 +234,18 @@ def canonicalize_url(url_col: str | Column) -> Column:
         lambda p: (p != "") & ~p.startswith("utm_"),
     )
     qs = F.array_join(F.array_sort(params), "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+    # schemeless / unparseable inputs pass through UNCHANGED: every
+    # regexp_extract returns '' on no match, so without this guard all
+    # such rows would collapse onto one fabricated '://'-prefixed key —
+    # a dedup false-merge across unrelated malformed urls
+    return F.when(scheme != "", canon).otherwise(u)
 
 
 def hash_bucket_pct(col: str | Column, salt: int = 0) -> Column:

@@ -266,21 +266,34 @@ def ivf_topk(
     hyperplane LSH path (two independent ANN families, as a real pipeline
     ships).
 
-    The coarse quantizer is the ``n_cells`` lowest-id vectors (a
-    deterministic seed set standing in for k-means centroids — k-means'
-    iteration order is not reproducible across engines, and IVF recall
-    depends only mildly on centroid quality).  Everything downstream is
-    relational: one broadcast of the tiny centroid set, one map-side
-    argmax (struct-max, tie-break lowest cell id) per vector, and a
-    cell-keyed equi-join — the shuffle carries cell populations, never
-    N x Q.  Deterministic end-to-end: sims rounded to 6dp before every
-    comparison, so a DuckDB oracle reproduces cell assignment, probing,
-    and ranking exactly.
+    The coarse quantizer is a deterministic HASH-STRATIFIED sample: the
+    ``n_cells`` vectors with the smallest md5-derived hash of their id
+    (a uniform random draw under a fixed key, standing in for k-means
+    centroids — k-means' iteration order is not reproducible across
+    engines, and IVF recall depends only mildly on centroid quality).
+    Unlike the previous lowest-id rule, the sample is independent of id
+    assignment order, so seeds land proportionally to data density and a
+    dense id-contiguous cluster cannot capture every centroid — bounded
+    cell skew is asserted in tests.  (TakeOrdered over the full table is
+    fine at sandbox scale; at 10^12 rows put a ``.sample`` in front.)
+    Everything downstream is relational: one broadcast of the tiny
+    centroid set, one map-side argmin over (-csim, cid) structs (works
+    for ANY orderable id type; ties pick the lowest cell id) per vector,
+    and a cell-keyed equi-join — the shuffle carries cell populations,
+    never N x Q.  Deterministic end-to-end: sims rounded to 6dp before
+    every comparison, so a DuckDB oracle reproduces cell assignment,
+    probing, and ranking exactly.
     """
+    seed_hash = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
     cents = (
-        vectors.orderBy(F.col(id_col).asc())
+        vectors.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"), seed_hash.alias("_h")
+        )
+        .orderBy(F.col("_h").asc(), F.col("cid").asc())
         .limit(n_cells)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+        .drop("_h")
     )
 
     def cell_scores(df: DataFrame, name: str) -> DataFrame:
@@ -293,8 +306,12 @@ def ivf_topk(
     assign = (
         cell_scores(vectors, "n")
         .groupBy("n_id")
-        .agg(F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"), F.col("n_vec"))).alias("_s"))
-        .select("n_id", (-F.col("_s.ncid")).alias("cell"), F.col("_s.n_vec").alias("n_vec"))
+        .agg(
+            F.min(
+                F.struct((-F.col("csim")).alias("nsim"), F.col("cid"), F.col("n_vec"))
+            ).alias("_s")
+        )
+        .select("n_id", F.col("_s.cid").alias("cell"), F.col("_s.n_vec").alias("n_vec"))
     )
     from pyspark.sql import Window
 

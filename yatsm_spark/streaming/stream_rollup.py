@@ -15,7 +15,7 @@ without re-reading raw data.
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -169,16 +169,26 @@ def make_monitor(threshold: float = 3.5, consecutive: int = 5, period: float = 7
         else:
             coef, rmse, consec, n_seen = None, 1.0, 0, 0
             buf_t, buf_y = [], []
-        out_rows: list[dict[str, Any]] = []
+        out_frames: list[pd.DataFrame] = []
         for pdf in pdfs:
             pdf = pdf.sort_values("warc_ts", kind="mergesort")
             t_days = pdf["warc_ts"].astype("int64").to_numpy() / 1e9 / 86400.0
             y = pdf["text_len"].to_numpy(dtype=np.float64)
-            for ts, td, yv in zip(pdf["warc_ts"], t_days, y):
-                n_seen += 1
-                if coef is None:
-                    buf_t.append(td)
-                    buf_y.append(yv)
+            ts_vals = pdf["warc_ts"].to_numpy()
+            n = y.size
+            n_seen += n
+            idx = 0
+            # chunk-vectorized twin of the batch K6 monitor: while trained,
+            # score every remaining row with ONE matvec (per-row dgemv dots
+            # are bit-identical to the old scalar x@coef, so output is
+            # still independent of micro-batch slicing); the consecutive
+            # counter is a run-length scan with carry-in from state.
+            while idx < n:
+                if coef is None:  # training: absorb rows into the buffers
+                    take = min(train_n - len(buf_t), n - idx)
+                    buf_t.extend(t_days[idx : idx + take])
+                    buf_y.extend(y[idx : idx + take])
+                    idx += take
                     if len(buf_t) >= train_n:
                         X = harmonic_design(np.array(buf_t), 1, period)
                         coef, *_ = np.linalg.lstsq(X, np.array(buf_y), rcond=None)
@@ -186,25 +196,36 @@ def make_monitor(threshold: float = 3.5, consecutive: int = 5, period: float = 7
                         rmse = max(float(np.sqrt(np.mean(resid**2))), 1.0)
                         buf_t, buf_y = [], []  # trained: buffers done
                     continue
-                xrow = harmonic_design(np.array([td]), 1, period)[0]
-                score = abs(yv - float(xrow @ coef)) / max(rmse, 1.0)
-                if score > threshold:
-                    consec += 1
-                else:
-                    consec = 0
-                is_break = consec >= consecutive
-                out_rows.append(
-                    {
-                        "url": key[0],
-                        "warc_ts": ts,
-                        "score": float(score),
-                        "consec": int(consec),
-                        "is_break": bool(is_break),
-                    }
+                Xb = harmonic_design(t_days[idx:n], 1, period)
+                scores = np.abs(y[idx:n] - Xb @ coef) / max(rmse, 1.0)
+                exceed = scores > threshold
+                pos = np.arange(exceed.size)
+                last_ok = np.maximum.accumulate(np.where(~exceed, pos, -1))
+                consec_vec = np.where(exceed, pos - last_ok, 0)
+                if consec:  # run carried in from the previous block/batch
+                    consec_vec = np.where(
+                        exceed & (last_ok == -1), consec_vec + consec, consec_vec
+                    )
+                brk = consec_vec >= consecutive
+                hits = np.flatnonzero(brk)
+                stop = int(hits[0]) + 1 if hits.size else exceed.size
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "url": key[0],
+                            "warc_ts": ts_vals[idx : idx + stop],
+                            "score": scores[:stop],
+                            "consec": consec_vec[:stop].astype(np.int32),
+                            "is_break": brk[:stop],
+                        }
+                    )
                 )
-                if is_break:  # reset: start retraining a new stable model
+                if hits.size:  # reset: start retraining a new stable model
                     coef, rmse, consec = None, 1.0, 0
                     buf_t, buf_y = [], []
+                else:
+                    consec = int(consec_vec[-1]) if exceed.size else consec
+                idx += stop
 
         state.update(
             (
@@ -216,8 +237,9 @@ def make_monitor(threshold: float = 3.5, consecutive: int = 5, period: float = 7
                 [float(v) for v in buf_y],
             )
         )
-        if out_rows:
-            yield pd.DataFrame(out_rows)
+        out_frames = [f for f in out_frames if not f.empty]
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
 
     return monitor
 
