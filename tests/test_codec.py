@@ -269,3 +269,61 @@ def test_tier_blobs_lossless_archive_cascades_exactly(spark):
     )
     live = cascade(tier, "1d").select("url", "bucket_ts", "cnt", "sum_len", "min_len", "max_len")
     assert from_archive.exceptAll(live).count() + live.exceptAll(from_archive).count() == 0
+
+
+def test_lang_blobs_reconstruct_30d_lang_dist_after_age_out(tmp_path, spark):
+    """The lang_dist companion archive closes the last age-out gap: with
+    the 1h tier parquet DELETED, the 30d lang distribution rebuilt from
+    the (url, lang) count blobs alone equals the live 30d cascade's map —
+    entry-for-entry (maps compare via sorted entries)."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.datagen import generate_crawl
+    from yatsm_spark.operators.rollup import cascade, rollup, series_clean
+    from yatsm_spark.plans.blobs import decode_lang_blobs, encode_lang_blobs
+
+    tier = rollup(series_clean(generate_crawl(spark, n_urls=10, span_days=40)), "1h")
+    tier_dir = str(tmp_path / "t1h")
+    blob_dir = str(tmp_path / "lang_blobs")
+    tier.write.parquet(tier_dir)
+    tier_on_disk = spark.read.parquet(tier_dir)
+
+    # live expectation BEFORE age-out: 1h -> 1d -> 30d map
+    live = (
+        cascade(cascade(tier_on_disk, "1d"), "30d")
+        .select("url", "bucket_ts", F.array_sort(F.map_entries("lang_dist")).alias("ld"))
+        .collect()
+    )
+    encode_lang_blobs(tier_on_disk, "1h").write.parquet(blob_dir)
+
+    # age out the tier parquet entirely
+    import shutil
+
+    shutil.rmtree(tier_dir)
+
+    decoded = decode_lang_blobs(spark.read.parquet(blob_dir))
+    rebuilt = (
+        decoded.groupBy(
+            "url",
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("bucket_ts") / 2592000) * 2592000).cast("bigint")
+            ).alias("bucket_ts"),
+            "lang",
+        )
+        .agg(F.sum(F.col("cnt").cast("long")).alias("cnt"))
+        .groupBy("url", "bucket_ts")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("lang", "cnt"))).alias("entries")
+        )
+        .select(
+            "url", "bucket_ts",
+            F.array_sort(
+                F.map_entries(F.map_from_entries("entries"))
+            ).alias("ld"),
+        )
+        .collect()
+    )
+    key = lambda r: (r["url"], r["bucket_ts"])  # noqa: E731
+    live_m = {key(r): r["ld"] for r in live}
+    got_m = {key(r): r["ld"] for r in rebuilt}
+    assert live_m == got_m and len(live_m) > 0

@@ -248,10 +248,11 @@ def encode_tier_blobs(
     true mean observation time).
 
     SCOPE — what the archive does NOT hold: ``lang_dist`` (a map cannot
-    ride a float codec; keep it in the tier parquet or a dictionary-encoded
-    companion table) and gap rows (recreate with gap_fill after decode).
-    Aging out the tier parquet entirely therefore loses lang_dist history;
-    age it out only when the numeric stats are all that downstream needs.
+    ride a float codec) and gap rows (recreate with gap_fill after
+    decode).  The lang_dist history has its own companion archive —
+    :func:`encode_lang_blobs` stores one count stream per (url, lang) —
+    so writing BOTH archives lets the tier parquet age out entirely with
+    no information loss (asserted end-to-end in tests/test_codec.py).
 
     Same shuffle-free-capable physical plan as encode_blobs (url
     repartition+sort, or presorted scan; numpy boundary slicing per batch).
@@ -301,6 +302,117 @@ def encode_tier_blobs(
         proj.repartition("url")
         .sortWithinPartitions("url", ts_col)
         .mapInPandas(encode_partition, schema=TIER_BLOBS_SCHEMA)
+    )
+
+
+LANG_BLOBS_SCHEMA = (
+    "url string, tier string, lang string, start_ts timestamp, end_ts timestamp, "
+    "n_points int, ts_blob binary, cnt_blob binary, codec_ver int"
+)
+
+# separator for the synthetic (url, lang) run key fed through _url_runs —
+# \x01 cannot appear in a url or a lang code
+_LANG_KEY_SEP = "\x01"
+
+
+def encode_lang_blobs(
+    tier_df: DataFrame, tier: str, ts_col: str = "bucket_ts"
+) -> DataFrame:
+    """lang_dist archive: one delta-of-delta timestamp stream + one
+    Gorilla count stream per (url, lang) — the dictionary-encoded
+    companion that closes the tier-parquet age-out story (the numeric
+    stats ride :func:`encode_tier_blobs`; this holds the map column's
+    history).  Counts are tiny ints so the XOR stream is near-free.
+
+    Physical plan mirrors the other encoders: one url shuffle (all of a
+    url's languages co-locate with its other per-url work), partition
+    sort on (url, lang, ts), ``mapInPandas`` with run slicing — the
+    (url, lang) composite rides the shared ``_url_runs`` iterator as a
+    single separator-joined key column."""
+
+    cols = ["url", "tier", "lang", "start_ts", "end_ts", "n_points",
+            "ts_blob", "cnt_blob", "codec_ver"]
+
+    def encode_partition(batches):
+        from yatsm_spark.functions.codec import encode_dod, encode_gorilla
+
+        for keys, ts_us, vals in _url_runs(batches, ts_col, ("cnt",)):
+            cnts = vals["cnt"]
+            rows = []
+            for s, e in zip(*_run_bounds(keys)):
+                t_g = ts_us[s:e]
+                order = np.argsort(t_g, kind="stable")
+                t_g = t_g[order]
+                url, lang = keys[s].split(_LANG_KEY_SEP, 1)
+                rows.append(
+                    (
+                        url,
+                        tier,
+                        lang,
+                        pd.Timestamp(t_g[0] * 1000),
+                        pd.Timestamp(t_g[-1] * 1000),
+                        e - s,
+                        encode_dod(t_g),
+                        encode_gorilla(cnts[s:e][order]),
+                        CODEC_VERSION,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    src = tier_df
+    if "gap_filled" in tier_df.columns:
+        src = src.filter(~F.col("gap_filled"))
+    proj = (
+        src.select("url", ts_col, F.explode("lang_dist").alias("lang", "cnt"))
+        .select(
+            F.concat_ws(_LANG_KEY_SEP, "url", "lang").alias("url"),
+            ts_col,
+            F.col("cnt").cast("double").alias("cnt"),
+        )
+    )
+    return (
+        proj.repartition(F.split("url", _LANG_KEY_SEP).getItem(0))
+        .sortWithinPartitions("url", ts_col)
+        .mapInPandas(encode_partition, schema=LANG_BLOBS_SCHEMA)
+    )
+
+
+def decode_lang_blobs(blobs: DataFrame) -> DataFrame:
+    """Inverse of :func:`encode_lang_blobs`: one (url, tier, lang,
+    bucket_ts, cnt) row per archived point.  Rebuild the map form with
+    ``map_from_entries(sort_array(collect_list(struct(lang, cnt))))`` per
+    (url, bucket) — exactly the rollup's deterministic construction — or
+    re-aggregate to coarser tiers by summing cnt per (url, lang, bucket)
+    first (the cascade algebra)."""
+
+    def decode_batches(batches):
+        from yatsm_spark.functions.codec import decode_dod, decode_gorilla
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            frames = []
+            for url, tier, lang, tsb, cb in zip(
+                pdf["url"], pdf["tier"], pdf["lang"], pdf["ts_blob"], pdf["cnt_blob"]
+            ):
+                ts_us = decode_dod(bytes(tsb))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "url": np.repeat(url, ts_us.size),
+                            "tier": np.repeat(tier, ts_us.size),
+                            "lang": np.repeat(lang, ts_us.size),
+                            "bucket_ts": pd.to_datetime(ts_us, unit="us"),
+                            "cnt": decode_gorilla(bytes(cb)),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return blobs.select("url", "tier", "lang", "ts_blob", "cnt_blob").mapInPandas(
+        decode_batches,
+        schema="url string, tier string, lang string, bucket_ts timestamp, cnt double",
     )
 
 
