@@ -408,3 +408,13 @@ def test_lowess_screen_blocked_linear_on_long_series():
     shift_zone = np.ones(n, dtype=bool)
     shift_zone[spikes] = False
     assert keep[shift_zone].mean() > 0.95  # shift + normal points kept
+
+
+def test_med_bit_identical_to_np_median():
+    from yatsm_spark.functions.ccdc import _med
+
+    rng = np.random.default_rng(0)
+    for _ in range(500):
+        n = int(rng.integers(1, 300))
+        a = rng.normal(0, 1e3, n)
+        assert _med(a) == float(np.median(a))
