@@ -627,6 +627,19 @@ def _q_minhash_lsh_pairs(spark, sf):
     return minhash_lsh_pairs(_t(spark, sf, "documents"), n_hashes=16, bands=4, k=3)
 
 
+def _q_neardup_clusters(spark, sf):
+    """MinHash-LSH pairs -> connected components -> dedup clusters with a
+    deterministic keeper — HASH-CHECKED: the DuckDB oracle re-derives the
+    same edges then computes components with a recursive transitive-closure
+    CTE (min-label), which this builder verified equals a union-find ground
+    truth on the sf0.01 edge set."""
+    from yatsm_spark.operators.dedup import minhash_lsh_pairs
+    from yatsm_spark.operators.graph import neardup_clusters
+
+    pairs = minhash_lsh_pairs(_t(spark, sf, "documents"), n_hashes=16, bands=4, k=3)
+    return neardup_clusters(pairs.filter(F.col("sig_sim") >= 0.5))
+
+
 def _q_ann_lsh(spark, sf):
     """Hyperplane-LSH bucketed ANN — HASH-CHECKED: approximate vs the
     exact twin emb_ann_topk, but deterministic, and the oracle reproduces
@@ -768,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_range_read": _q_blob_range_read,
         "salted_event_stats": _q_salted_stats,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "neardup_clusters": _q_neardup_clusters,
         "emb_ann_lsh": _q_ann_lsh,
         "emb_ann_ivf": _q_ann_ivf,
         "multimodal_media_synth": _q_multimodal_synth,
@@ -1186,6 +1200,23 @@ agree AS (
 SELECT id_a, id_b, round(n_eq / 16.0, 4) AS sig_sim FROM agree
 """
 
+# connected components over the >=0.5-sig_sim LSH edges: recursive
+# transitive closure + min-label (verified == union-find on sf0.01)
+_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE base AS ({_MINHASH_LSH}),
+ed AS (SELECT id_a AS s, id_b AS d FROM base WHERE sig_sim >= 0.5
+       UNION ALL SELECT id_b, id_a FROM base WHERE sig_sim >= 0.5),
+reach(a, b) AS (
+  SELECT DISTINCT s, s FROM ed
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN ed e ON e.s = r.b),
+cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+       cc.doc_id = cc.cluster_id AS is_keeper
+FROM cc JOIN sz USING (cluster_id)
+"""
+
 
 def _emb_ann_lsh_oracle(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
     """DuckDB twin of lsh_bucket_topk: same seeded hyperplane literals,
@@ -1475,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_media_synth": _MULTIMODAL_GOLDEN,
         # approximate-but-DETERMINISTIC ops, fully reproduced in SQL:
         "minhash_lsh_pairs": _MINHASH_LSH,
+        "neardup_clusters": _NEARDUP_CLUSTERS,
         "emb_ann_lsh": _emb_ann_lsh_oracle(),
         "emb_ann_ivf": _EMB_ANN_IVF,
     }

@@ -275,3 +275,72 @@ def test_hash_split_partition_invariant(docs):
     # monotone: a 40% sample contains the 20% sample (same salt)
     s_small = {r["doc_id"] for r in hash_sample(docs, 20, "doc_id").collect()}
     assert s_small <= s1
+
+
+# ---------------------------------------------------------------- graph CC
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((n, find(n)) for n in {x for e in edges for x in e})
+
+
+def test_connected_components_chain_clique_bridge(spark):
+    """Chain (worst diameter), clique, and 2-node bridge in one graph."""
+    from yatsm_spark.operators.graph import connected_components
+
+    edges = [(2, 1), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+             (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = sorted((r.id, r.component) for r in connected_components(df).collect())
+    assert got == _union_find_components(edges)
+
+
+def test_connected_components_random_matches_union_find(spark):
+    """120-edge seeded random graph == Python union-find ground truth."""
+    import random
+
+    from yatsm_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = sorted((r.id, r.component) for r in connected_components(df).collect())
+    assert got == _union_find_components(edges)
+
+
+def test_neardup_clusters_keeper_and_sizes(spark):
+    """Cluster label = min id = the keeper; sizes count members."""
+    from yatsm_spark.operators.graph import neardup_clusters
+
+    df = spark.createDataFrame(
+        [(5, 9), (9, 3), (30, 31)], "id_a int, id_b int"
+    )
+    rows = {r.doc_id: r for r in neardup_clusters(df).collect()}
+    assert rows[3].cluster_id == 3 and rows[3].is_keeper
+    assert rows[5].cluster_id == 3 and not rows[5].is_keeper
+    assert rows[9].cluster_size == 3
+    assert rows[30].cluster_size == 2 and rows[31].cluster_id == 30
+
+
+def test_connected_components_string_ids(spark):
+    """Labels are min-by-total-order — works for string doc ids too."""
+    from yatsm_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

