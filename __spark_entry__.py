@@ -627,6 +627,65 @@ def _q_minhash_lsh_pairs(spark, sf):
     return minhash_lsh_pairs(_t(spark, sf, "documents"), n_hashes=16, bands=4, k=3)
 
 
+def _pii_augmented_text() -> F.Column:
+    """Deterministic PII injection for the redaction query: the synthetic
+    corpus has no emails/IPs, so both engines append the SAME derived
+    spans (email for doc_id%3==0, IPv4 for %4==0, a second email for
+    %10==0) — counts then vary 0-2 per doc and the redacted fingerprint
+    proves span-exact replacement."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" from host "), (did % 250).cast("string"),
+                     F.lit(".16."), (did % 100).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(did % 10 == 0, F.lit(" cc admin@example.org")).otherwise(F.lit("")),
+    )
+
+
+def _q_docs_pii_redact(spark, sf):
+    """Email/IPv4 PII scrub with audit counts + redacted fingerprint —
+    map-side regexp chain, no shuffle; patterns restricted to the
+    RE2 ∩ java.util.regex common syntax so DuckDB reproduces them."""
+    from yatsm_spark.functions.textops import fingerprint, pii_counts, redact_pii
+
+    d = _t(spark, sf, "documents").select("doc_id", _pii_augmented_text().alias("t"))
+    return d.select(
+        "doc_id",
+        *pii_counts("t"),
+        fingerprint(redact_pii("t")).alias("redacted_fp"),
+    )
+
+
+def _q_docs_repetition(spark, sf):
+    """Gopher-style repetition quality signals — HASH-CHECKED (fractions
+    emitted as integer x1e4: cross-engine-exact round-half-up)."""
+    from yatsm_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
+def _q_docs_decontam(spark, sf):
+    """Benchmark decontamination: training docs (doc_id%20 != 0) sharing
+    any verbatim word k-gram with the held-out benchmark slice
+    (doc_id%20 == 0) — broadcast semi-join probe, HASH-CHECKED.  k=4
+    here because the synthetic vocab is ~30 words (collision rate of a
+    4-gram ≈ a real corpus 8-gram); the operator default stays 8."""
+    from yatsm_spark.operators.quality import decontaminate
+
+    d = _t(spark, sf, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 20 != 0), d.filter(F.col("doc_id") % 20 == 0), k=4
+    )
+
+
 def _q_neardup_clusters(spark, sf):
     """MinHash-LSH pairs -> connected components -> dedup clusters with a
     deterministic keeper — HASH-CHECKED: the DuckDB oracle re-derives the
@@ -782,6 +841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_stats": _q_salted_stats,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "neardup_clusters": _q_neardup_clusters,
+        "docs_pii_redact": _q_docs_pii_redact,
+        "docs_repetition": _q_docs_repetition,
+        "docs_decontam": _q_docs_decontam,
         "emb_ann_lsh": _q_ann_lsh,
         "emb_ann_ivf": _q_ann_ivf,
         "multimodal_media_synth": _q_multimodal_synth,
@@ -1217,6 +1279,73 @@ SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
 FROM cc JOIN sz USING (cluster_id)
 """
 
+def _kgram_expr(k: int) -> str:
+    """DuckDB word-k-gram list over ws (mirrors dedup.shingle_rows)."""
+    terms = " || ' ' || ".join(f"ws[i+{j+1}]" for j in range(k))
+    return (
+        f"CASE WHEN len(ws) >= {k} "
+        f"THEN list_transform(range(len(ws) - {k - 1}), i -> {terms}) "
+        "ELSE [] END"
+    )
+
+
+# integer round-half-up x1e4 (see operators/quality.py::_x1e4)
+def _x1e4_sql(num: str, den: str) -> str:
+    return f"CASE WHEN {den} = 0 THEN 0 ELSE (20000*{num} + {den}) // (2*{den}) END"
+
+
+_DOCS_REPETITION = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct, max(c) AS top_c
+        FROM tc GROUP BY doc_id),
+bg AS (SELECT doc_id, {_kgram_expr(2)} AS bgs FROM w),
+bi AS (SELECT doc_id, len(bgs) AS n_bi, len(list_distinct(bgs)) AS n_bi_distinct
+       FROM bg)
+SELECT u.doc_id, u.n_tokens,
+       {_x1e4_sql('u.n_distinct', 'u.n_tokens')} AS distinct_frac_x1e4,
+       {_x1e4_sql('u.top_c', 'u.n_tokens')} AS top_token_frac_x1e4,
+       {_x1e4_sql('(b.n_bi - b.n_bi_distinct)', 'b.n_bi')} AS dup_bigram_frac_x1e4
+FROM uni u JOIN bi b USING (doc_id)
+"""
+
+_DOCS_DECONTAM = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+kg AS (SELECT doc_id, unnest(list_distinct({_kgram_expr(4)})) AS s FROM w),
+bench AS (SELECT DISTINCT s FROM kg WHERE doc_id % 20 = 0)
+SELECT doc_id, count(*) AS n_hits
+FROM kg WHERE doc_id % 20 != 0 AND s IN (SELECT s FROM bench)
+GROUP BY doc_id
+"""
+
+# same augmentation + same replacement ORDER (emails first) as the query;
+# patterns live in yatsm_spark/functions/textops.py (RE2-compatible)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_DOCS_PII = f"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN ' from host ' || (doc_id % 250) || '.16.' || (doc_id % 100) || '.7'
+         ELSE '' END
+    || CASE WHEN doc_id % 10 = 0 THEN ' cc admin@example.org' ELSE '' END AS t
+  FROM documents),
+r1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+         regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM aug)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS INTEGER) AS n_ips,
+       md5(regexp_replace(t1, '{_PII_IP}', '<IP>', 'g')) AS redacted_fp
+FROM r1
+"""
+
 
 def _emb_ann_lsh_oracle(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
     """DuckDB twin of lsh_bucket_topk: same seeded hyperplane literals,
@@ -1507,6 +1636,9 @@ def oracle_sql() -> dict[str, str]:
         # approximate-but-DETERMINISTIC ops, fully reproduced in SQL:
         "minhash_lsh_pairs": _MINHASH_LSH,
         "neardup_clusters": _NEARDUP_CLUSTERS,
+        "docs_pii_redact": _DOCS_PII,
+        "docs_repetition": _DOCS_REPETITION,
+        "docs_decontam": _DOCS_DECONTAM,
         "emb_ann_lsh": _emb_ann_lsh_oracle(),
         "emb_ann_ivf": _EMB_ANN_IVF,
     }

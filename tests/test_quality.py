@@ -1,0 +1,93 @@
+"""Quality / decontamination / PII operators — semantic unit tests.
+Cross-engine parity is covered by __spark_entry__ + scripts/check_oracle.py
+(docs_repetition, docs_decontam, docs_pii_redact)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from yatsm_spark.operators.quality import decontaminate, repetition_stats
+
+
+@pytest.fixture(scope="module")
+def qdocs(spark):
+    rows = [
+        (0, "a a a a"),                 # maximal repetition
+        (1, "a b c d"),                 # no repetition
+        (2, "x y x y x y"),             # repeated bigram pattern
+        (3, "solo"),                    # single token -> no bigrams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_hand_values(qdocs):
+    out = {r.doc_id: r for r in repetition_stats(qdocs).collect()}
+    r0 = out[0]
+    assert r0.n_tokens == 4
+    assert r0.distinct_frac_x1e4 == 2500          # 1/4
+    assert r0.top_token_frac_x1e4 == 10000        # 4/4
+    assert r0.dup_bigram_frac_x1e4 == 6667        # (3-1)/3 half-up
+    r1 = out[1]
+    assert r1.distinct_frac_x1e4 == 10000
+    assert r1.top_token_frac_x1e4 == 2500
+    assert r1.dup_bigram_frac_x1e4 == 0
+    r2 = out[2]
+    assert r2.n_tokens == 6
+    assert r2.distinct_frac_x1e4 == 3333          # 2/6
+    # bigrams: x y, y x, x y, y x, x y -> 5 total, 2 distinct
+    assert r2.dup_bigram_frac_x1e4 == 6000
+    r3 = out[3]
+    assert r3.n_tokens == 1 and r3.dup_bigram_frac_x1e4 == 0
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (10, "the secret benchmark answer is forty two exactly"),
+            (11, "totally unrelated words about spark shuffles here"),
+            (12, "prefix the secret benchmark answer is shared twice over "
+                 "the secret benchmark answer is"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "the secret benchmark answer is forty two")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_hits for r in decontaminate(train, bench, k=5).collect()}
+    assert 11 not in out
+    # bench (7 tokens) emits 3 five-grams; doc 10 contains all of them
+    assert out[10] == 3
+    # doc 12 contains "the secret benchmark answer is" twice — distinct
+    # k-grams count once (shingle_rows dedups per doc)
+    assert out[12] == 1
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    train = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "a b c d")], "doc_id long, text string")
+    plan = decontaminate(train, bench, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_redact_pii_and_counts(spark):
+    from yatsm_spark.functions.textops import pii_counts, redact_pii
+
+    rows = [
+        (0, "reach me at a.b1@x.co or at 10.0.0.1 today"),
+        (1, "no pii here at all"),
+        (2, "two mails x@y.io z@w.net one ip 255.1.2.3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", *pii_counts("text"),
+                           redact_pii("text").alias("red")).collect()
+    }
+    assert out[0].n_emails == 1 and out[0].n_ips == 1
+    assert out[0].red == "reach me at <EMAIL> or at <IP> today"
+    assert out[1].n_emails == 0 and out[1].n_ips == 0
+    assert out[1].red == rows[1][1]
+    assert out[2].n_emails == 2 and out[2].n_ips == 1
+    assert out[2].red == "two mails <EMAIL> <EMAIL> one ip <IP>"

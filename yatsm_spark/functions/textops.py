@@ -288,3 +288,43 @@ def hash_split(
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+# --------------------------------------------------------------- PII scrub
+
+# Patterns restricted to syntax RE2 (DuckDB) and java.util.regex (Spark)
+# evaluate identically: no lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_ORDER = (
+    (PII_EMAIL_RE, "<EMAIL>"),  # emails FIRST: an address can embed digits
+    (PII_IPV4_RE, "<IP>"),      # + dots that the looser IP pattern would eat
+)
+
+
+def redact_pii(text_col: str | Column = "text") -> Column:
+    """Replace emails then IPv4 literals with typed placeholder tokens.
+
+    Pure `regexp_replace` chain — map-side, codegen, no shuffle; the
+    replacement ORDER is part of the contract (see _PII_ORDER).  The
+    point of placeholders (vs deletion) is that token offsets around the
+    redaction stay trainable and the redaction is auditable downstream.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, repl in _PII_ORDER:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text_col: str | Column = "text") -> list[Column]:
+    """[n_emails, n_ips] matched in the ORIGINAL text (audit metric).
+
+    n_ips counts IPs visible after email redaction, mirroring the
+    redact_pii order, so the two columns never double-count one span.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_emails = F.regexp_count(c, F.lit(PII_EMAIL_RE)).alias("n_emails")
+    after_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IPV4_RE)).alias("n_ips")
+    return [n_emails, n_ips]

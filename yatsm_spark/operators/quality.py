@@ -1,0 +1,130 @@
+"""Corpus quality + decontamination operators over `documents` tables.
+
+Training-data-pipeline operators (task brief first-class components):
+
+  * :func:`repetition_stats` — Gopher-style repetition signals per doc
+    (token counts, distinct-token fraction, top-token fraction, duplicate
+    bigram fraction).  Repetitious docs (boilerplate, keyword stuffing,
+    generation loops) are the canonical pre-training junk class; these
+    four fractions are the standard filter features (cf. Rae et al. 2021,
+    "Scaling Language Models" §A1.1; C4's heuristics in Raffel et al.
+    2020).
+  * :func:`decontaminate` — n-gram-overlap decontamination: flag training
+    docs sharing any k-gram with a held-out benchmark corpus (the
+    standard eval-leak guard, cf. GPT-3 appendix C methodology).
+
+Scale notes (100 TB design):
+  * repetition_stats: explode -> two-level aggregate.  The (id, token)
+    pre-aggregate is algebraic, so map-side partial aggregation bounds
+    the shuffle by the per-partition DISTINCT token count, not token
+    count; everything after is one id-keyed aggregate.  No O(n_tokens^2)
+    array expressions (array_distinct/transform chains re-inline the
+    tokenizer per element — measured quadratic in dedup.shingle_rows).
+  * decontaminate: the benchmark side aggregates to DISTINCT k-grams
+    first — at any realistic benchmark size (≤ millions of k-grams) that
+    side broadcasts, so the flagging pass is a map-side broadcast
+    left-semi probe of the training corpus: no shuffle of the big side.
+    ``broadcast_threshold`` guards the fallback to a shuffled semi-join.
+
+Fraction columns are emitted as integer ``*_x1e4`` (value * 10000,
+round-half-up) — integer division is the only cross-engine-exact rounding
+(Spark HALF_UP-on-decimal vs DuckDB float rounding diverge on exact .5
+halves; see sliding_mean_24h pattern in __spark_entry__.py).
+
+Reference analog: none — YATSM is numeric-only [U]; axis-A webtext ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from yatsm_spark.operators.dedup import shingle_rows
+
+
+def _x1e4(num, den) -> F.Column:
+    """round-half-up(10000 * num / den) = (20000*num + den) div (2*den) —
+    pure integer arithmetic (decimal division so floor is exact; bigint
+    ``/`` would go through double and can mis-floor exact quotients)."""
+    n = (F.lit(20000) * num.cast("bigint") + den.cast("bigint")).cast("decimal(38,0)")
+    d = (F.lit(2) * den.cast("bigint")).cast("decimal(38,0)")
+    return F.floor(n / d).cast("bigint")
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition signals: (id, n_tokens, distinct_frac_x1e4,
+    top_token_frac_x1e4, dup_bigram_frac_x1e4).
+
+    dup_bigram_frac = 1 - distinct_bigrams/total_bigrams (0 when a doc
+    has < 2 tokens).  Docs with empty text still emit a row (n_tokens
+    counts the single empty token, matching split semantics both engines).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(text_col, " ")).alias("pos", "t"),
+    )
+    uni = (
+        tok.groupBy("id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    big = (
+        tok.withColumn("t2", F.lead("t").over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("id", F.concat_ws(" ", "t", "t2").alias("bg"))
+    )
+    bi = (
+        big.groupBy("id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_bi"), F.count("*").alias("n_bi_distinct"))
+    )
+    return (
+        uni.join(bi, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens"),
+            _x1e4(F.col("n_distinct"), F.col("n_tokens")).alias("distinct_frac_x1e4"),
+            _x1e4(F.col("top_c"), F.col("n_tokens")).alias("top_token_frac_x1e4"),
+            F.coalesce(
+                _x1e4(F.col("n_bi") - F.col("n_bi_distinct"), F.col("n_bi")),
+                F.lit(0).cast("bigint"),
+            ).alias("dup_bigram_frac_x1e4"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_threshold: int | None = 10_000_000,
+) -> DataFrame:
+    """Training docs sharing >= 1 word k-gram with the benchmark corpus:
+    (id, n_hits) with n_hits = count of DISTINCT contaminated k-grams.
+
+    Long k (default 8) keeps topical overlap out and catches verbatim
+    leakage — the standard eval-decontamination setting.  The benchmark
+    k-gram set is distinct-aggregated then broadcast when its row count
+    is under ``broadcast_threshold`` (None = always let AQE decide).
+    """
+    bench_kg = shingle_rows(benchmark, k, id_col, text_col).select("s").distinct()
+    if broadcast_threshold is not None:
+        bench_kg = F.broadcast(bench_kg)
+    train_kg = shingle_rows(train, k, id_col, text_col)
+    return (
+        train_kg.join(bench_kg, "s", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.col("id").alias(id_col), "n_hits")
+    )
