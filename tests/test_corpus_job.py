@@ -1,0 +1,82 @@
+"""End-to-end corpus-cleaning job (jobs/corpus.py::clean_corpus)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _clean(spark, **kw):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from jobs.corpus import clean_corpus
+    from yatsm_spark.datagen import generate_crawl
+
+    crawl = generate_crawl(spark, n_urls=60, span_days=20)
+    # synthetic corpus is deliberate word-soup: dup_bigram ~0.97, so the
+    # real-world default threshold (0.6) would drop everything
+    kw.setdefault("max_dup_bigram_x1e4", 9900)
+    return clean_corpus(crawl, **kw)
+
+
+def test_clean_corpus_stages_monotone_and_deterministic(spark):
+    cleaned, m = _clean(spark)
+    # stage counts only ever shrink
+    assert m["snapshot"] >= m["exact_dedup"] >= m["neardup_dedup"] >= m["cleaned"]
+    assert m["cleaned"] > 0
+    # one row per doc, splits assigned, all three values possible
+    assert cleaned.select("doc_id").distinct().count() == m["cleaned"]
+    assert set(r.split for r in cleaned.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    # determinism: an independent run produces identical keep-set
+    cleaned2, m2 = _clean(spark)
+    assert m2 == m
+    a = {r.doc_id for r in cleaned.select("doc_id").collect()}
+    b = {r.doc_id for r in cleaned2.select("doc_id").collect()}
+    assert a == b
+    cleaned.unpersist()
+    cleaned2.unpersist()
+
+
+def test_clean_corpus_neardup_keeps_one_per_cluster(spark):
+    """Every near-dup cluster contributes exactly its keeper."""
+    from yatsm_spark.operators.dedup import minhash_lsh_pairs
+    from yatsm_spark.operators.graph import neardup_clusters
+
+    cleaned, m = _clean(spark)
+    kept = {r.doc_id for r in cleaned.select("doc_id").collect()}
+    # recompute clusters over the exact-deduped survivors independently
+    from yatsm_spark.datagen import generate_crawl
+    from yatsm_spark.functions.textops import canonicalize_url, fingerprint
+
+    crawl = generate_crawl(spark, n_urls=60, span_days=20)
+    snap = (
+        crawl.select(
+            canonicalize_url("url").alias("doc_id"),
+            F.struct("warc_ts", "text", "lang").alias("o"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("o").alias("o"))
+        .select("doc_id", F.col("o.text").alias("text"))
+    )
+    uniq = snap.join(
+        snap.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    cl = neardup_clusters(
+        minhash_lsh_pairs(uniq, n_hashes=16, bands=4, k=3).filter(
+            F.col("sig_sim") >= 0.5
+        )
+    )
+    rows = cl.collect()
+    # non-keepers are gone unconditionally (quality filter can only drop
+    # MORE, never resurrect)
+    assert all(r.doc_id not in kept for r in rows if not r.is_keeper)
+    # and the pipeline kept at least one cluster keeper
+    assert any(r.doc_id in kept for r in rows if r.is_keeper)
+    cleaned.unpersist()
