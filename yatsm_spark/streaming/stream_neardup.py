@@ -1,0 +1,213 @@
+"""Streaming MinHash-LSH near-dup candidate detection (§2.6 extension).
+
+Online twin of the batch near-dup stack (operators/dedup.py::
+minhash_lsh_pairs -> operators/graph.py::neardup_clusters): as documents
+land on the ingest stream, emit candidate near-dup PAIRS against the
+recently-seen corpus — the "is this crawl a copy of something we already
+hold?" front door that batch passes answer only at the next run.
+
+Shape (all vectorized pandas/Arrow, no per-row Python in the hot path):
+
+  1. ``minhash_bands`` (mapInPandas): per micro-batch partition, shingle
+     every doc with pandas explode + groupby-shift, hash ALL shingles in
+     one ``pandas.util.hash_array`` call, fold to the per-doc MinHash
+     signature with ``np.minimum.at`` (one call per permutation), and
+     emit one row per LSH band with a numeric band-bucket key.
+  2. ``applyInPandasWithState`` keyed by (band, bkey): state = the last
+     ``max_bucket`` (id, signature) pairs seen in this bucket.  Each
+     arriving doc is compared against the stored signatures with one
+     vectorized mean-agreement matrix op; pairs >= ``threshold`` are
+     emitted immediately.
+
+State is bounded two ways: ``max_bucket`` docs per bucket (FIFO evict —
+hot buckets are stopword-grade and carry little dedup signal, same
+argument as dedup.py's ``max_shingle_freq`` guard), and a processing-time
+timeout that drops buckets idle longer than ``state_ttl`` (the streaming
+analog of the batch pass owning full-corpus exactness; cf.
+stream_exact_dedup's watermark bound).
+
+A pair colliding in several bands is emitted once per band — dedup
+downstream with ``dropDuplicatesWithinWatermark`` on (id_a, id_b) or at
+the sink, where the stream's watermark column is available.
+
+Hashing here is pandas' xxhash-family ``hash_array`` (not the batch
+stack's md5-derived portable_hash64): signatures never leave the state
+store, so cross-engine reproducibility is not needed and the vectorized
+hash is ~20x cheaper.  Determinism still holds: same input stream =>
+same signatures => same pairs, regardless of micro-batch slicing
+(pairs emit when their LATER member arrives; tested).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_PRIME = 2147483647
+
+BANDS_SCHEMA = "doc_id string, band int, bkey long, sig array<long>"
+NEARDUP_STATE_SCHEMA = "ids array<string>, sigs array<long>"
+NEARDUP_OUT_SCHEMA = "id_a string, id_b string, sig_sim double, band int"
+
+
+def make_minhash_bands(
+    n_hashes: int = 16, bands: int = 4, k: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+):
+    """mapInPandas stage 1: (doc rows) -> one row per (doc, band)."""
+    rows_per_band = n_hashes // bands
+
+    def bandify(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            toks = pdf[text_col].str.split(" ")
+            ex = toks.explode()
+            g = ex.groupby(level=0)
+            sh = ex
+            for j in range(1, k):
+                sh = sh + " " + g.shift(-j)
+            sh = sh.dropna()
+            if sh.empty:
+                continue
+            hv = pd.util.hash_array(sh.to_numpy(dtype=object)).astype(np.int64)
+            hv = np.abs(hv) % _PRIME
+            doc_idx = sh.index.to_numpy()
+            n_docs = len(pdf)
+            sig = np.full((n_docs, n_hashes), np.iinfo(np.int64).max)
+            for i in range(n_hashes):
+                perm = (hv * (2 * i + 1) + 7919 * (i + 1)) % _PRIME
+                np.minimum.at(sig[:, i], doc_idx, perm)
+            has_sig = sig[:, 0] != np.iinfo(np.int64).max
+            if not has_sig.any():
+                continue
+            sig = sig[has_sig]
+            ids = pdf.loc[has_sig, id_col].to_numpy()
+            # numeric band key: polynomial fold of the band's rows (the
+            # streaming stand-in for the batch concat_ws bkey string)
+            frames = []
+            for b in range(bands):
+                block = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+                bkey = np.zeros(len(block), dtype=np.int64)
+                for c in range(rows_per_band):
+                    bkey = (bkey * 1000003 + block[:, c]) % (1 << 62)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": ids,
+                            "band": np.int32(b),
+                            "bkey": bkey,
+                            "sig": list(sig),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return bandify
+
+
+def make_bucket_matcher(
+    n_hashes: int = 16, threshold: float = 0.5, max_bucket: int = 64
+):
+    """applyInPandasWithState stage 2: emit pairs vs the bucket's state."""
+
+    def matcher(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, flat = state.get
+            ids = list(ids)
+            stored = (
+                np.array(flat, dtype=np.int64).reshape(-1, n_hashes)
+                if flat
+                else np.empty((0, n_hashes), dtype=np.int64)
+            )
+        else:
+            ids, stored = [], np.empty((0, n_hashes), dtype=np.int64)
+        out: list[pd.DataFrame] = []
+        for pdf in pdfs:
+            # arrival order must not depend on partition interleaving:
+            # process in doc_id order within the batch (deterministic)
+            pdf = pdf.sort_values("doc_id", kind="mergesort")
+            for did, sig_list in zip(pdf["doc_id"], pdf["sig"]):
+                sig = np.asarray(sig_list, dtype=np.int64)
+                if did in ids:
+                    continue  # re-crawl of a known doc: already represented
+                if len(ids):
+                    sim = (stored == sig).mean(axis=1)
+                    hit = np.flatnonzero(sim >= threshold)
+                    if hit.size:
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    # id_a = the EARLIER-seen member
+                                    "id_a": [ids[h] for h in hit],
+                                    "id_b": did,
+                                    "sig_sim": np.round(sim[hit], 4),
+                                    "band": np.int32(key[0]),
+                                }
+                            )
+                        )
+                ids.append(did)
+                stored = np.vstack([stored, sig[None, :]])
+                if len(ids) > max_bucket:  # FIFO bound on hot buckets
+                    ids = ids[-max_bucket:]
+                    stored = stored[-max_bucket:]
+        state.update((ids, [int(v) for v in stored.ravel()]))
+        for f in out:
+            yield f
+
+    return matcher
+
+
+def stream_neardup_candidates(
+    stream: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+    state_ttl_ms: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming near-dup candidate pairs over a document stream.
+
+    ``state_ttl_ms=None`` (default) bounds state by ``max_bucket`` alone
+    (NoTimeout).  Pass a TTL on long-running continuous deployments to
+    also age out idle buckets — but NOT with Trigger.AvailableNow, where
+    pending processing-time timeouts keep scheduling empty micro-batches
+    after the data is exhausted and the query never terminates (measured:
+    80+ empty epochs in 2 minutes before the test harness gave up).
+    """
+
+    matcher = make_bucket_matcher(n_hashes, threshold, max_bucket)
+
+    def with_ttl(key, pdfs, state):
+        if not state.hasTimedOut:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield from matcher(key, pdfs, state)
+
+    banded = stream.select(id_col, text_col).mapInPandas(
+        make_minhash_bands(n_hashes, bands, k, id_col, text_col),
+        schema=BANDS_SCHEMA,
+    )
+    if state_ttl_ms is None:
+        fn, conf = matcher, GroupStateTimeout.NoTimeout
+    else:
+        fn, conf = with_ttl, GroupStateTimeout.ProcessingTimeTimeout
+    return banded.groupBy("band", "bkey").applyInPandasWithState(
+        fn,
+        outputStructType=NEARDUP_OUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=conf,
+    )
