@@ -686,6 +686,19 @@ def _q_docs_decontam(spark, sf):
     )
 
 
+def _q_docs_top_quartile(spark, sf):
+    """Grouped-percentile corpus filter: keep the top quarter of docs per
+    language by distinct-token fraction — HASH-CHECKED (integer rank
+    arithmetic: rn*4 <= n, no float percent_rank)."""
+    from yatsm_spark.operators.quality import keep_top_fraction, repetition_stats
+
+    d = _t(spark, sf, "documents")
+    scored = repetition_stats(d).join(d.select("doc_id", "lang"), "doc_id")
+    return keep_top_fraction(
+        scored, "distinct_frac_x1e4", by=["lang"], keep_num=1, keep_den=4
+    ).select("doc_id", "lang", F.col("distinct_frac_x1e4").alias("score"))
+
+
 def _q_neardup_clusters(spark, sf):
     """MinHash-LSH pairs -> connected components -> dedup clusters with a
     deterministic keeper — HASH-CHECKED: the DuckDB oracle re-derives the
@@ -844,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_redact": _q_docs_pii_redact,
         "docs_repetition": _q_docs_repetition,
         "docs_decontam": _q_docs_decontam,
+        "docs_top_quartile": _q_docs_top_quartile,
         "emb_ann_lsh": _q_ann_lsh,
         "emb_ann_ivf": _q_ann_ivf,
         "multimodal_media_synth": _q_multimodal_synth,
@@ -1311,6 +1325,25 @@ SELECT u.doc_id, u.n_tokens,
 FROM uni u JOIN bi b USING (doc_id)
 """
 
+_DOCS_TOP_QUARTILE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct
+        FROM tc GROUP BY doc_id),
+scored AS (
+  SELECT u.doc_id, d.lang,
+         (20000*u.n_distinct + u.n_tokens) // (2*u.n_tokens) AS score
+  FROM uni u JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored)
+SELECT doc_id, lang, score FROM ranked WHERE rn * 4 <= n
+"""
+
 _DOCS_DECONTAM = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 kg AS (SELECT doc_id, unnest(list_distinct({_kgram_expr(4)})) AS s FROM w),
@@ -1639,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pii_redact": _DOCS_PII,
         "docs_repetition": _DOCS_REPETITION,
         "docs_decontam": _DOCS_DECONTAM,
+        "docs_top_quartile": _DOCS_TOP_QUARTILE,
         "emb_ann_lsh": _emb_ann_lsh_oracle(),
         "emb_ann_ivf": _EMB_ANN_IVF,
     }

@@ -91,3 +91,19 @@ def test_redact_pii_and_counts(spark):
     assert out[1].red == rows[1][1]
     assert out[2].n_emails == 2 and out[2].n_ips == 1
     assert out[2].red == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_keep_top_fraction_exact_rank_semantics(spark):
+    from yatsm_spark.operators.quality import keep_top_fraction
+
+    rows = [(i, "en", 100 - i) for i in range(8)]          # scores 100..93
+    rows += [(100, "de", 5), (101, "de", 9), (102, "de", 9)]  # n=3 < 4
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    kept = {r.doc_id for r in keep_top_fraction(df, "score", by=["lang"]).collect()}
+    assert kept == {0, 1}            # top 2 of 8 en docs; de (n=3) keeps none
+    # half instead of quarter: de keeps 1 (ties 9,9 -> min doc_id wins)
+    kept2 = {
+        r.doc_id
+        for r in keep_top_fraction(df, "score", by=["lang"], keep_den=2).collect()
+    }
+    assert kept2 == {0, 1, 2, 3, 101}

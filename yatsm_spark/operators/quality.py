@@ -128,3 +128,35 @@ def decontaminate(
         .agg(F.count("*").alias("n_hits"))
         .select(F.col("id").alias(id_col), "n_hits")
     )
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    by: list[str] | None = None,
+    keep_num: int = 1,
+    keep_den: int = 4,
+) -> DataFrame:
+    """Keep the top ``keep_num/keep_den`` of rows per ``by`` group ranked
+    by ``score_col`` DESC (ties broken by ``id_col`` for determinism).
+
+    The grouped-percentile corpus filter ("top quartile by quality per
+    language") in pure integer arithmetic: a row survives iff
+    ``rank * keep_den <= n * keep_num`` — no float percent_rank, so the
+    kept set is bit-identical across engines and cluster sizes.  Groups
+    smaller than ``keep_den/keep_num`` keep nothing (exact semantics).
+
+    One window shuffle on ``by``; both window functions share the frame.
+    At skew (one giant lang) the sort is the cost — pre-aggregate or
+    sample ranks if a single group outgrows a partition.
+    """
+    by = by or []
+    w = Window.partitionBy(*by).orderBy(F.col(score_col).desc(), F.col(id_col))
+    wn = Window.partitionBy(*by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .filter(F.col("_rn") * keep_den <= F.col("_n") * keep_num)
+        .drop("_rn", "_n")
+    )
