@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "emb_ann_topk",
     "emb_neardup_lsh",
     "ccdc_segments_synth",
+    # round-3 additions (new plan shapes; keep the pre-r3 prefix stable
+    # for cross-round comparable-set analysis)
+    "docs_repetition",
+    "neardup_clusters",
 ]
 
 
