@@ -50,11 +50,10 @@ from yatsm_spark.datagen import generate_crawl  # noqa: E402
 from yatsm_spark.functions.textops import (  # noqa: E402
     canonicalize_url,
     extract_text,
-    fingerprint,
     hash_split,
     redact_pii,
 )
-from yatsm_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from yatsm_spark.operators.dedup import exact_dedup, minhash_lsh_pairs  # noqa: E402
 from yatsm_spark.operators.graph import neardup_clusters  # noqa: E402
 from yatsm_spark.operators.quality import repetition_stats  # noqa: E402
 from yatsm_spark.session import get_spark  # noqa: E402
@@ -76,27 +75,32 @@ def clean_corpus(
     """
     m: dict[str, int] = {}
 
-    # -- 1. canonical latest snapshot per url
+    # -- 1. canonical latest snapshot per url.  The regex-heavy html
+    # extraction runs AFTER the max-aggregation (once per url, not once
+    # per crawl observation); null text collapses to '' so degenerate
+    # docs still flow through the quality gate (and get dropped there by
+    # min_tokens) instead of bypassing repetition_stats entirely.
     snap = (
         crawl.select(
             canonicalize_url("url").alias("doc_id"),
-            F.struct("warc_ts", F.coalesce("text", extract_text("html")).alias("text"),
-                     "lang").alias("obs"),
+            F.struct("warc_ts", "text", "html", "lang").alias("obs"),
         )
         .groupBy("doc_id")
         .agg(F.max("obs").alias("obs"))
-        .select("doc_id", F.col("obs.text").alias("text"), F.col("obs.lang").alias("lang"))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("obs.text"), extract_text(F.col("obs.html")), F.lit("")
+            ).alias("text"),
+            F.col("obs.lang").alias("lang"),
+        )
         .persist()
     )
     m["snapshot"] = snap.count()
 
     # -- 2. exact dedup (keep min doc_id per fingerprint)
-    keep_exact = (
-        snap.select("doc_id", fingerprint("text").alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
-    uniq = snap.join(keep_exact, "doc_id", "left_semi").persist()
+    keepers = exact_dedup(snap).select(F.col("keeper_id").alias("doc_id"))
+    uniq = snap.join(keepers, "doc_id", "left_semi").persist()
     m["exact_dedup"] = uniq.count()
     snap.unpersist()
 
@@ -155,7 +159,11 @@ def main() -> None:
         max_dup_bigram_x1e4=int(round(args.max_dup_bigram * 10000)),
         min_tokens=args.min_tokens,
     )
-    cleaned.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    # data under <output>/data so mode=overwrite cannot wipe the metrics
+    # history accumulating beside it in <output>/_meta
+    cleaned.write.mode("overwrite").partitionBy("split").parquet(
+        os.path.join(args.output, "data")
+    )
     metrics["wall_s"] = round(time.time() - t0, 1)
 
     meta_dir = os.path.join(args.output, "_meta")

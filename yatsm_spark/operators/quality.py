@@ -44,11 +44,17 @@ from yatsm_spark.operators.dedup import shingle_rows
 
 def _x1e4(num, den) -> F.Column:
     """round-half-up(10000 * num / den) = (20000*num + den) div (2*den) —
-    pure integer arithmetic (decimal division so floor is exact; bigint
-    ``/`` would go through double and can mis-floor exact quotients)."""
-    n = (F.lit(20000) * num.cast("bigint") + den.cast("bigint")).cast("decimal(38,0)")
-    d = (F.lit(2) * den.cast("bigint")).cast("decimal(38,0)")
-    return F.floor(n / d).cast("bigint")
+    pure integer arithmetic.  Spark has no bigint-div Column op and BOTH
+    plain routes are inexact: bigint ``/`` goes through double (numerator
+    can exceed 2^53), and raw decimal(38,0) division rounds HALF_UP at
+    scale 6 BEFORE floor (verified: 500/10000001-style inputs come out
+    one too high for denominators > ~2e6).  Exact route: strip the
+    remainder with pmod first, so the decimal division is exactly
+    divisible and its scale-6 result is an exact integer."""
+    n = F.lit(20000) * num.cast("bigint") + den.cast("bigint")
+    d = F.lit(2) * den.cast("bigint")
+    exact = (n - F.pmod(n, d)).cast("decimal(38,0)")
+    return (exact / d.cast("decimal(38,0)")).cast("bigint")
 
 
 def repetition_stats(
@@ -115,11 +121,13 @@ def decontaminate(
 
     Long k (default 8) keeps topical overlap out and catches verbatim
     leakage — the standard eval-decontamination setting.  The benchmark
-    k-gram set is distinct-aggregated then broadcast when its row count
-    is under ``broadcast_threshold`` (None = always let AQE decide).
+    k-gram set is distinct-aggregated, counted (one small aggregate job),
+    and broadcast-hinted only when its row count is actually under
+    ``broadcast_threshold``; larger sets fall back to a shuffled semi-
+    join (None = skip the count and let AQE decide).
     """
     bench_kg = shingle_rows(benchmark, k, id_col, text_col).select("s").distinct()
-    if broadcast_threshold is not None:
+    if broadcast_threshold is not None and bench_kg.count() <= broadcast_threshold:
         bench_kg = F.broadcast(bench_kg)
     train_kg = shingle_rows(train, k, id_col, text_col)
     return (

@@ -133,10 +133,16 @@ def make_bucket_matcher(
         else:
             ids, stored = [], np.empty((0, n_hashes), dtype=np.int64)
         out: list[pd.DataFrame] = []
-        for pdf in pdfs:
-            # arrival order must not depend on partition interleaving:
-            # process in doc_id order within the batch (deterministic)
-            pdf = pdf.sort_values("doc_id", kind="mergesort")
+        # arrival order must not depend on partition/chunk interleaving:
+        # a hot bucket arrives as MULTIPLE Arrow chunks whose relative
+        # order is shuffle-fetch order, so concatenate the whole trigger
+        # first and sort ONCE (per-chunk sorts would leave cross-chunk
+        # order nondeterministic and could flip FIFO evictions)
+        chunks = [p for p in pdfs if not p.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "doc_id", kind="mergesort"
+            )
             for did, sig_list in zip(pdf["doc_id"], pdf["sig"]):
                 sig = np.asarray(sig_list, dtype=np.int64)
                 if did in ids:
