@@ -699,6 +699,53 @@ def _q_docs_top_quartile(spark, sf):
     ).select("doc_id", "lang", F.col("distinct_frac_x1e4").alias("score"))
 
 
+def _q_docs_domain_cap(spark, sf):
+    """Per-domain quota: keep the 10 longest docs per source (crawl
+    pipelines cap per-host contributions so one site cannot dominate) —
+    HASH-CHECKED.  Runs the skew-safe two-phase top-k path; the oracle
+    is the plain one-window form, so hash equality also re-proves the
+    two forms equal on real data."""
+    from yatsm_spark.operators.quality import domain_cap
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return domain_cap(d, "n_chars", cap=10, domain_col="source")
+
+
+def _q_docs_pack_budget(spark, sf):
+    """Token-budget corpus packing: best docs first (n_chars DESC,
+    doc_id) until 15000 whitespace tokens are spent — HASH-CHECKED.
+    Runs the histogram-threshold path (no global sort; only the
+    boundary score class touches a window); the oracle is the naive
+    global running-sum form."""
+    from yatsm_spark.operators.quality import pack_token_budget
+
+    d = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(F.split("text", " ")).cast("bigint").alias("w"),
+        )
+    )
+    return pack_token_budget(d, "n_chars", "w", budget=15_000)
+
+
+def _q_docs_tfidf_terms(spark, sf):
+    """Top-3 distinctive terms per doc by integer-exact linear-idf
+    tf-idf (term-asc tie-break) — HASH-CHECKED."""
+    from yatsm_spark.operators.terms import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+def _q_docs_commonness(spark, sf):
+    """Mean token document-frequency per doc (integer x1e4) — the
+    rank-free unigram-LM quality proxy — HASH-CHECKED."""
+    from yatsm_spark.operators.terms import commonness_score
+
+    return commonness_score(_t(spark, sf, "documents"))
+
+
 def _q_neardup_clusters(spark, sf):
     """MinHash-LSH pairs -> connected components -> dedup clusters with a
     deterministic keeper — HASH-CHECKED: the DuckDB oracle re-derives the
@@ -858,6 +905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "docs_decontam": _q_docs_decontam,
         "docs_top_quartile": _q_docs_top_quartile,
+        "docs_domain_cap": _q_docs_domain_cap,
+        "docs_pack_budget": _q_docs_pack_budget,
+        "docs_tfidf_terms": _q_docs_tfidf_terms,
+        "docs_commonness": _q_docs_commonness,
         "emb_ann_lsh": _q_ann_lsh,
         "emb_ann_ivf": _q_ann_ivf,
         "multimodal_media_synth": _q_multimodal_synth,
@@ -1344,6 +1395,59 @@ ranked AS (
 SELECT doc_id, lang, score FROM ranked WHERE rn * 4 <= n
 """
 
+_DOCS_DOMAIN_CAP = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+# naive global running-sum form of the histogram-threshold packer
+_DOCS_PACK_BUDGET = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+  FROM documents),
+c AS (
+  SELECT doc_id, n_chars, w,
+         sum(w) OVER (ORDER BY n_chars DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t)
+SELECT doc_id, n_chars, w FROM c WHERE cum <= 15000
+"""
+
+_DOCS_TFIDF = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+tc AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+v AS (SELECT t, count(*) AS df FROM tc GROUP BY t),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.t, tc.tf, v.df,
+         {_x1e4_sql('(tc.tf * n.n)', 'v.df')} AS tfidf_x1e4
+  FROM tc JOIN v USING (t) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_x1e4 DESC, t) AS rn
+      FROM scored)
+SELECT doc_id, t AS term, tf, df, tfidf_x1e4 FROM r WHERE rn <= 3
+"""
+
+_DOCS_COMMONNESS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+tc AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+v AS (SELECT t, count(*) AS df FROM tc GROUP BY t),
+n AS (SELECT count(*) AS n FROM documents),
+agg AS (
+  SELECT tc.doc_id, CAST(sum(tc.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tc.tf * v.df) AS BIGINT) AS sum_df
+  FROM tc JOIN v USING (t) GROUP BY tc.doc_id)
+SELECT a.doc_id, a.n_tokens,
+       {_x1e4_sql('a.sum_df', '(a.n_tokens * n.n)')} AS mean_df_x1e4
+FROM agg a CROSS JOIN n
+"""
+
 _DOCS_DECONTAM = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 kg AS (SELECT doc_id, unnest(list_distinct({_kgram_expr(4)})) AS s FROM w),
@@ -1673,6 +1777,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": _DOCS_REPETITION,
         "docs_decontam": _DOCS_DECONTAM,
         "docs_top_quartile": _DOCS_TOP_QUARTILE,
+        "docs_domain_cap": _DOCS_DOMAIN_CAP,
+        "docs_pack_budget": _DOCS_PACK_BUDGET,
+        "docs_tfidf_terms": _DOCS_TFIDF,
+        "docs_commonness": _DOCS_COMMONNESS,
         "emb_ann_lsh": _emb_ann_lsh_oracle(),
         "emb_ann_ivf": _EMB_ANN_IVF,
     }

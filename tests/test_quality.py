@@ -107,3 +107,61 @@ def test_keep_top_fraction_exact_rank_semantics(spark):
         for r in keep_top_fraction(df, "score", by=["lang"], keep_den=2).collect()
     }
     assert kept2 == {0, 1, 2, 3, 101}
+
+
+def test_domain_cap_two_phase_equals_one_window(spark):
+    from yatsm_spark.operators.quality import domain_cap
+
+    rows = [(i, f"src{i % 3}", (i * 37) % 50) for i in range(60)]
+    # inject score ties inside one domain to exercise the id tie-break
+    rows += [(100, "src0", 49), (101, "src0", 49)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, score long"
+    ).repartition(7)
+    one = sorted(map(tuple, domain_cap(df, "score", 5, two_phase=False).collect()))
+    two = sorted(map(tuple, domain_cap(df, "score", 5, two_phase=True).collect()))
+    assert one == two
+    per_dom = {}
+    for _, src, _ in one:
+        per_dom[src] = per_dom.get(src, 0) + 1
+    assert all(v == 5 for v in per_dom.values())
+    # top scores actually kept: src0 has the two injected 49s
+    kept0 = {d for d, s, _ in one if s == "src0"}
+    assert {100, 101} <= kept0
+
+
+def test_pack_token_budget_prefix_semantics(spark):
+    from yatsm_spark.operators.quality import pack_token_budget
+
+    # (id, score, weight) -- order: score desc, id asc
+    rows = [
+        (0, 30, 10),
+        (1, 30, 10),   # after score-30 class: cum 20
+        (2, 20, 15),   # cum 35
+        (3, 20, 100),  # overflows at budget 40 -> dropped, and everything after
+        (4, 10, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score long, w long")
+    kept = {r.doc_id for r in pack_token_budget(df, "score", "w", 40).collect()}
+    assert kept == {0, 1, 2}
+    # budget swallows everything -> identity
+    all_kept = {r.doc_id for r in pack_token_budget(df, "score", "w", 10_000).collect()}
+    assert all_kept == {0, 1, 2, 3, 4}
+    # zero budget -> nothing
+    assert pack_token_budget(df, "score", "w", 0).count() == 0
+
+
+def test_pack_token_budget_matches_bruteforce(spark):
+    from yatsm_spark.operators.quality import pack_token_budget
+
+    rows = [(i, (i * 13) % 7, (i * 29) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, w long")
+    for budget in (0, 37, 250, 400, 10_000):
+        got = {r.doc_id for r in pack_token_budget(df, "score", "w", budget).collect()}
+        cum, want = 0, set()
+        for i, s, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if cum + w > budget:
+                break
+            cum += w
+            want.add(i)
+        assert got == want, budget

@@ -138,6 +138,103 @@ def decontaminate(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    score_col: str,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    two_phase: bool = True,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, ranked by ``score_col`` DESC
+    (ties broken by ``id_col`` ASC) — the per-host/per-domain quota every
+    crawl pipeline applies so one giant site cannot dominate the corpus.
+
+    Scale path (``two_phase=True``, default): a single window over
+    ``domain_col`` sorts each domain on one reducer, so one hot domain
+    (millions of pages on a link farm) becomes a straggler.  Phase 1
+    instead windows over (domain, spark_partition_id): the hot domain is
+    split across reducers and each fragment keeps its local top-``cap``
+    — any row in the global top-``cap`` is necessarily in its fragment's
+    top-``cap``, so this drops no candidate.  Phase 2 runs the exact
+    window on the reduced set (<= cap * fragments rows per domain).
+    Result is bit-identical to the one-window form (pinned by test) and
+    independent of the physical partitioning.
+    """
+    order = [F.col(score_col).desc(), F.col(id_col)]
+    if two_phase:
+        w1 = Window.partitionBy(domain_col, "_pid").orderBy(*order)
+        df = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= cap)
+            .drop("_pid", "_rn")
+        )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy corpus packing: walk rows in (``score_col`` DESC,
+    ``id_col`` ASC) order and keep the maximal prefix whose cumulative
+    ``weight_col`` stays <= ``budget`` — "fill a token budget with the
+    best documents first", the selection step between quality scoring
+    and tokenization in a pre-training data pipeline.
+
+    A row is kept iff its inclusive running total <= budget (the first
+    overflowing row and everything after it are dropped).
+
+    Scale path: the naive form is a running sum over a GLOBAL order —
+    one reducer sorts the corpus.  Instead: (1) aggregate per-score
+    weight totals (``score_col`` must be discretized — the x1e4 integer
+    quality fractions have <= 10001 values, so this histogram is tiny);
+    (2) walk the histogram on the driver to find the threshold score s*
+    = the highest score whose full class no longer fits; (3) keep every
+    row with score > s* with NO sort at all, and run the running-sum
+    window only over the s* boundary class (ordered by ``id_col``).
+    Only the boundary class touches a single-reducer window; at corpus
+    scale that is one score bucket, not the corpus.  Both weights and
+    the budget are integer-exact, so the kept set is engine- and
+    cluster-size-independent.
+    """
+    hist = (
+        df.groupBy(score_col)
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("w"))
+        .collect()  # bounded: one row per distinct (discretized) score
+    )
+    hist.sort(key=lambda r: r[score_col], reverse=True)
+    running = 0
+    cut = None  # score of the boundary class
+    remaining = budget
+    for r in hist:
+        if running + r["w"] > budget:
+            cut = r[score_col]
+            remaining = budget - running
+            break
+        running += r["w"]
+    if cut is None:  # everything fits
+        return df
+    full = df.filter(F.col(score_col) > cut)
+    wb = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, 0)
+    boundary = (
+        df.filter(F.col(score_col) == cut)
+        .withColumn("_cum", F.sum(F.col(weight_col).cast("bigint")).over(wb))
+        .filter(F.col("_cum") <= remaining)
+        .drop("_cum")
+    )
+    return full.unionByName(boundary)
+
+
 def keep_top_fraction(
     df: DataFrame,
     score_col: str,
