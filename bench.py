@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     # for cross-round comparable-set analysis)
     "docs_repetition",
     "neardup_clusters",
+    "docs_tfidf_terms",
 ]
 
 

@@ -17,7 +17,12 @@ Stages (each with a row-count lineage metric in <output>/_meta):
   3. near-dup dedup — MinHash+LSH banding pairs -> connected components ->
      drop every non-keeper (operators/graph.py::neardup_clusters).
   4. quality filter — repetition signals (operators/quality.py) + token
-     floor; drops keyword-stuffed / degenerate docs.
+     floor; drops keyword-stuffed / degenerate docs.  Optional 4b
+     (--domain-cap N): per-host quota via the two-phase skew-safe top-k
+     (quality.domain_cap).  Optional 4c (--token-budget B): greedy pack
+     to a token budget, best distinct-token fraction first, via the
+     histogram-threshold selector (quality.pack_token_budget — no
+     global sort).
   5. PII scrub — email/IPv4 redaction (functions/textops.py::redact_pii).
   6. splits — deterministic content-hash train/val/test assignment
      (functions/textops.py::hash_split), written partitioned by split.
@@ -66,6 +71,8 @@ def clean_corpus(
     min_tokens: int = 5,
     minhash_bands: int = 4,
     minhash_hashes: int = 16,
+    domain_cap_n: int | None = None,
+    token_budget: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run stages 1-6; returns (cleaned corpus df, per-stage row counts).
 
@@ -121,6 +128,32 @@ def clean_corpus(
     ).select("doc_id")
     good = deduped.join(bad, "doc_id", "left_anti")
 
+    # -- 4b/4c. optional selection stages: per-host quota, then greedy
+    # token-budget packing by quality.  Both rank on repetition-stat
+    # scores already computed for stage 4, joined back doc-keyed; both
+    # are deterministic (integer scores, doc_id tie-breaks).
+    if domain_cap_n is not None or token_budget is not None:
+        from yatsm_spark.functions.textops import url_host
+        from yatsm_spark.operators.quality import domain_cap, pack_token_budget
+
+        scored = good.join(
+            rep.select("doc_id", "n_tokens", "distinct_frac_x1e4"), "doc_id"
+        )
+        if domain_cap_n is not None:
+            scored = domain_cap(
+                scored.withColumn("_host", url_host("doc_id")),
+                "n_tokens",
+                cap=domain_cap_n,
+                domain_col="_host",
+            ).drop("_host")
+            m["domain_cap"] = scored.count()
+        if token_budget is not None:
+            scored = pack_token_budget(
+                scored, "distinct_frac_x1e4", "n_tokens", token_budget
+            )
+            m["token_budget"] = scored.count()
+        good = scored.drop("n_tokens", "distinct_frac_x1e4")
+
     # -- 5-6. PII scrub + deterministic splits (map-side)
     cleaned = hash_split(
         good.select("doc_id", redact_pii("text").alias("text"), "lang"),
@@ -140,6 +173,11 @@ def main() -> None:
     ap.add_argument("--max-dup-bigram", type=float, default=0.6,
                     help="drop docs with a higher duplicate-bigram fraction")
     ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--domain-cap", type=int, default=None,
+                    help="keep at most N docs per host (longest first)")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="greedy-pack to this many whitespace tokens, "
+                         "best distinct-token fraction first")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -158,6 +196,8 @@ def main() -> None:
         neardup_threshold=args.neardup_threshold,
         max_dup_bigram_x1e4=int(round(args.max_dup_bigram * 10000)),
         min_tokens=args.min_tokens,
+        domain_cap_n=args.domain_cap,
+        token_budget=args.token_budget,
     )
     # data under <output>/data so mode=overwrite cannot wipe the metrics
     # history accumulating beside it in <output>/_meta

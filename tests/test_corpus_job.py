@@ -80,3 +80,29 @@ def test_clean_corpus_neardup_keeps_one_per_cluster(spark):
     # and the pipeline kept at least one cluster keeper
     assert any(r.doc_id in kept for r in rows if r.is_keeper)
     cleaned.unpersist()
+
+
+def test_clean_corpus_selection_stages(spark):
+    """--domain-cap and --token-budget stages: quota respected, budget
+    respected, and the packed set is the greedy best-first prefix."""
+    from yatsm_spark.functions.textops import url_host
+    from yatsm_spark.operators.quality import repetition_stats
+
+    cleaned, m = _clean(spark, domain_cap_n=2, token_budget=800)
+    assert m["cleaned"] <= m["token_budget"] <= m["domain_cap"] <= m["neardup_dedup"]
+    hosts = (
+        cleaned.withColumn("_h", url_host("doc_id"))
+        .groupBy("_h")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 2 for r in hosts)
+    # budget respected on the kept docs' token counts
+    toks = {
+        r.doc_id: r.n_tokens
+        for r in repetition_stats(cleaned.select("doc_id", "text")).collect()
+    }
+    # note: kept text is post-PII-redaction, token COUNT is unchanged by
+    # the <EMAIL>/<IP> substitutions (single-token replacements)
+    assert sum(toks.values()) <= 800
+    cleaned.unpersist()

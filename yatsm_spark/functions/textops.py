@@ -248,6 +248,19 @@ def canonicalize_url(url_col: str | Column) -> Column:
     return F.when(scheme != "", canon).otherwise(u)
 
 
+def url_host(url_col: str | Column) -> Column:
+    """Lowercased host with any port stripped — the per-domain quota
+    grouping key (jobs/corpus.py --domain-cap).  Schemeless/unparseable
+    urls yield '' and therefore share one quota bucket; upstream
+    canonicalization passes such urls through unchanged, so a corpus
+    with many of them should pre-filter rather than rely on the cap."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    return F.regexp_replace(hostport, r":\d+$", "")
+
+
 def hash_bucket_pct(col: str | Column, salt: int = 0) -> Column:
     """Deterministic 0-99 bucket from the portable content hash — the
     primitive under :func:`hash_sample` / :func:`hash_split`.  Depends
