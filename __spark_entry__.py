@@ -746,6 +746,15 @@ def _q_docs_commonness(spark, sf):
     return commonness_score(_t(spark, sf, "documents"))
 
 
+def _q_docs_dup_spans(spark, sf):
+    """Cross-document verbatim-span stats (train-vs-train k-gram overlap,
+    the exact-substring-dedup flag stage) — HASH-CHECKED.  k=4 for the
+    same small-vocab reason as docs_decontam."""
+    from yatsm_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_t(spark, sf, "documents"), k=4)
+
+
 def _q_neardup_clusters(spark, sf):
     """MinHash-LSH pairs -> connected components -> dedup clusters with a
     deterministic keeper — HASH-CHECKED: the DuckDB oracle re-derives the
@@ -909,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_budget": _q_docs_pack_budget,
         "docs_tfidf_terms": _q_docs_tfidf_terms,
         "docs_commonness": _q_docs_commonness,
+        "docs_dup_spans": _q_docs_dup_spans,
         "emb_ann_lsh": _q_ann_lsh,
         "emb_ann_ivf": _q_ann_ivf,
         "multimodal_media_synth": _q_multimodal_synth,
@@ -1448,6 +1458,21 @@ SELECT a.doc_id, a.n_tokens,
 FROM agg a CROSS JOIN n
 """
 
+_DOCS_DUP_SPANS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+kgl AS (SELECT doc_id, {_kgram_expr(4)} AS kgs FROM w),
+sp AS (SELECT doc_id, unnest(kgs) AS s FROM kgl),
+xd AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd
+                      FROM sp GROUP BY s) WHERE nd >= 2),
+tot AS (SELECT doc_id, CAST(len(kgs) AS BIGINT) AS n_spans FROM kgl),
+dup AS (SELECT doc_id, count(*) AS n_dup FROM sp
+        WHERE s IN (SELECT s FROM xd) GROUP BY doc_id)
+SELECT t.doc_id, t.n_spans,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       {_x1e4_sql('coalesce(d.n_dup, 0)', 't.n_spans')} AS dup_span_frac_x1e4
+FROM tot t LEFT JOIN dup d USING (doc_id)
+"""
+
 _DOCS_DECONTAM = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 kg AS (SELECT doc_id, unnest(list_distinct({_kgram_expr(4)})) AS s FROM w),
@@ -1781,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_budget": _DOCS_PACK_BUDGET,
         "docs_tfidf_terms": _DOCS_TFIDF,
         "docs_commonness": _DOCS_COMMONNESS,
+        "docs_dup_spans": _DOCS_DUP_SPANS,
         "emb_ann_lsh": _emb_ann_lsh_oracle(),
         "emb_ann_ivf": _EMB_ANN_IVF,
     }

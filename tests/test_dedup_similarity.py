@@ -344,3 +344,23 @@ def test_connected_components_string_ids(spark):
     )
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_duplicate_span_stats_hand_values(spark):
+    from yatsm_spark.operators.dedup import duplicate_span_stats
+
+    rows = [
+        (0, "a b c d e"),        # spans: "a b c","b c d","c d e"
+        (1, "x a b c d y"),      # shares "a b c","b c d" with doc 0
+        (2, "p q r p q r p q"),  # repeats internally only -> no cross-doc
+        (3, "zz"),               # shorter than k -> (0,0,0)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_span_stats(docs, k=3).collect()}
+    assert (out[0].n_spans, out[0].n_dup_spans) == (3, 2)
+    assert out[0].dup_span_frac_x1e4 == 6667            # 2/3 half-up
+    assert (out[1].n_spans, out[1].n_dup_spans) == (4, 2)
+    assert out[1].dup_span_frac_x1e4 == 5000
+    # within-doc repeats don't flag: "p q r" occurs twice but in ONE doc
+    assert (out[2].n_spans, out[2].n_dup_spans) == (6, 0)
+    assert (out[3].n_spans, out[3].n_dup_spans, out[3].dup_span_frac_x1e4) == (0, 0, 0)

@@ -217,3 +217,72 @@ def simhash_docs(
 ) -> DataFrame:
     """Per-doc SimHash fingerprint (map-side only, no shuffle)."""
     return docs.select(F.col(id_col), simhash64(text_col, bits).alias("simhash"))
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc cross-document verbatim-span stats: (id, n_spans,
+    n_dup_spans, dup_span_frac_x1e4), where a word k-gram position is
+    "dup" iff its k-gram occurs in >= ``min_docs`` DISTINCT documents
+    — the train-vs-train twin of quality.decontaminate and the
+    flag-stage primitive of exact-substring dedup (cf. Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": find
+    spans shared verbatim across docs, then cut or down-weight them).
+
+    Within-doc repeats do NOT flag (distinct-doc count, not occurrence
+    count); docs shorter than k tokens emit (0, 0, 0).
+
+    Scale shape: one doc-keyed window to form spans, one (span, id)
+    distinct aggregate (map-side partials absorb hot spans), one span
+    equi-join of the flagged-span set back onto span positions — the
+    flagged set is the duplicated-content volume, usually orders of
+    magnitude under the corpus span count, so AQE broadcasts it at
+    moderate scale and the join stays a shuffle equi-join (never
+    all-pairs) beyond that.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(text_col, " ")).alias("pos", "t"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    cur = [F.col("t")] + [F.lead("t", j).over(w).alias(f"_t{j}") for j in range(1, k)]
+    sp = (
+        tok.select("id", *cur)
+        .filter(F.col(f"_t{k-1}").isNotNull())
+        .select("id", F.concat_ws(" ", "t", *[f"_t{j}" for j in range(1, k)]).alias("s"))
+    )
+    xdoc = (
+        sp.select("s", "id")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("s")
+    )
+    tot = sp.groupBy("id").agg(F.count("*").alias("n_spans"))
+    dup = (
+        sp.join(xdoc, "s", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    from yatsm_spark.operators.quality import _x1e4
+
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(tot, "id", "left")
+        .join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce(
+                _x1e4(F.coalesce("n_dup", F.lit(0)), F.col("n_spans")),
+                F.lit(0).cast("bigint"),
+            ).alias("dup_span_frac_x1e4"),
+        )
+    )
