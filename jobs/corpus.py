@@ -64,6 +64,33 @@ from yatsm_spark.operators.quality import repetition_stats  # noqa: E402
 from yatsm_spark.session import get_spark  # noqa: E402
 
 
+def snapshot(crawl: DataFrame) -> DataFrame:
+    """Stage 1: canonical latest snapshot per url — (doc_id, text, lang).
+
+    The regex-heavy html extraction runs AFTER the max-aggregation (once
+    per url, not once per crawl observation); null text collapses to ''
+    so degenerate docs still flow through the quality gate (and get
+    dropped there by min_tokens) instead of bypassing repetition_stats
+    entirely.  Deterministic: shared by the batch pipeline, the catalog
+    builder, and the incremental path, so all three see byte-identical
+    doc rows for the same crawl."""
+    return (
+        crawl.select(
+            canonicalize_url("url").alias("doc_id"),
+            F.struct("warc_ts", "text", "html", "lang").alias("obs"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("obs").alias("obs"))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("obs.text"), extract_text(F.col("obs.html")), F.lit("")
+            ).alias("text"),
+            F.col("obs.lang").alias("lang"),
+        )
+    )
+
+
 def clean_corpus(
     crawl: DataFrame,
     neardup_threshold: float = 0.5,
@@ -82,27 +109,8 @@ def clean_corpus(
     """
     m: dict[str, int] = {}
 
-    # -- 1. canonical latest snapshot per url.  The regex-heavy html
-    # extraction runs AFTER the max-aggregation (once per url, not once
-    # per crawl observation); null text collapses to '' so degenerate
-    # docs still flow through the quality gate (and get dropped there by
-    # min_tokens) instead of bypassing repetition_stats entirely.
-    snap = (
-        crawl.select(
-            canonicalize_url("url").alias("doc_id"),
-            F.struct("warc_ts", "text", "html", "lang").alias("obs"),
-        )
-        .groupBy("doc_id")
-        .agg(F.max("obs").alias("obs"))
-        .select(
-            "doc_id",
-            F.coalesce(
-                F.col("obs.text"), extract_text(F.col("obs.html")), F.lit("")
-            ).alias("text"),
-            F.col("obs.lang").alias("lang"),
-        )
-        .persist()
-    )
+    # -- 1. canonical latest snapshot per url
+    snap = snapshot(crawl).persist()
     m["snapshot"] = snap.count()
 
     # -- 2. exact dedup (keep min doc_id per fingerprint)
@@ -164,6 +172,196 @@ def clean_corpus(
     return cleaned, m
 
 
+def build_catalog(
+    crawl: DataFrame,
+    minhash_hashes: int = 16,
+    minhash_bands: int = 4,
+) -> DataFrame:
+    """Ingestion-ledger catalog rows (doc_id, fp, sig) for EVERY
+    canonical url in the crawl's snapshot — kept or dropped — derived
+    from the PRE-redaction snapshot text (future deltas are matched
+    before their own redaction, so catalog hashes must come from the
+    same pre-redaction representation).
+
+    The ledger must cover dropped docs too: a future delta doc that
+    near-dups a dedup LOSER (or a quality-dropped doc) belongs to the
+    same batch cluster as that doc's keeper, so the incremental matcher
+    has to see it (an exact loser shares its keeper's fp/sig, but a
+    NEAR-dup loser does not).  It also makes the first-crawl-wins url
+    guard correct for re-crawls of urls whose first crawl was dropped.
+
+    Stored beside the corpus (<output>/catalog) and narrow (~150 B/url):
+    the incremental path joins deltas against THIS, never against the
+    corpus text itself.  Docs shorter than the shingle size have no
+    MinHash signature; their sig is null (they still exact-match by fp).
+
+    Note: because catalog hashes are pre-redaction and cover dropped
+    urls, the catalog cannot be rebuilt from the stored corpus text —
+    treat it as primary state, not a cache.
+    """
+    from yatsm_spark.functions.textops import fingerprint
+    from yatsm_spark.operators.dedup import minhash_signatures
+
+    snap = snapshot(crawl)
+    sigs = minhash_signatures(snap, minhash_hashes, k=3).select(
+        F.col("id").alias("doc_id"), "sig"
+    )
+    return (
+        snap.select("doc_id", fingerprint("text").alias("fp"))
+        .join(sigs, "doc_id", "left")
+    )
+
+
+def incremental_clean(
+    delta_crawl: DataFrame,
+    catalog: DataFrame,
+    neardup_threshold: float = 0.5,
+    max_dup_bigram_x1e4: int = 6000,
+    min_tokens: int = 5,
+    minhash_bands: int = 4,
+    minhash_hashes: int = 16,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Fold a crawl delta into an existing cleaned corpus WITHOUT
+    re-reading the corpus: every keep/drop decision joins the delta
+    against the narrow (doc_id, fp, sig) catalog.  Returns (new cleaned
+    rows to APPEND, per-stage metrics).
+
+    Incremental contract (corpus-stable semantics):
+      * first-crawl-wins — a delta re-crawl of an already-ingested
+        canonical url is DROPPED (the stored doc never churns; run the
+        batch pipeline to adopt latest-crawl semantics corpus-wide);
+      * existing-wins dedup — a delta doc that exact- or near-dup
+        matches a cataloged doc is dropped, never swapped in.
+
+    Because the catalog is the full ingestion ledger (every snapshot
+    url, kept or dropped — see :func:`build_catalog`), the DELTA-side
+    result exactly equals the batch pipeline on (old ∪ delta) whenever
+    delta doc_ids sort after existing ones (batch min-id keepers then
+    coincide with existing-wins keepers) — pinned by
+    test_corpus_job.py::test_incremental_corpus_equals_batch.  The one
+    divergence is on the OLD side, and only via "bridges": if a delta
+    doc is similar to two mutually-dissimilar corpus docs, batch on the
+    union would merge their clusters and evict one corpus doc, while
+    the incremental path never evicts (corpus-stable by contract; the
+    bridge doc itself is dropped either way).
+
+    Scale shape: the delta (small) shuffles; the catalog contributes
+    fp / (band, bkey) join keys only.  Within-delta near-dup clustering
+    runs on the FULL exact-deduped delta BEFORE corpus-match removal so
+    contaminated clusters drop whole (matching batch transitivity).
+    """
+    from yatsm_spark.functions.textops import fingerprint
+    from yatsm_spark.operators.dedup import (
+        band_signatures,
+        exact_dedup,
+        minhash_signatures,
+    )
+
+    m: dict[str, int] = {}
+
+    snap_all = snapshot(delta_crawl)
+    # -- 0. first-crawl-wins url guard
+    snap = snap_all.join(catalog.select("doc_id"), "doc_id", "left_anti").persist()
+    m["delta_new_urls"] = snap.count()
+
+    # -- 1. exact dedup: vs catalog fingerprints, then within the delta
+    with_fp = snap.withColumn("fp", fingerprint("text"))
+    fresh = with_fp.join(catalog.select("fp"), "fp", "left_anti").drop("fp")
+    keepers = exact_dedup(fresh).select(F.col("keeper_id").alias("doc_id"))
+    uniq = fresh.join(keepers, "doc_id", "left_semi").persist()
+    m["exact_dedup"] = uniq.count()
+    snap.unpersist()
+
+    # -- 2. near-dup: within-delta clusters + delta-vs-catalog matches
+    sig = minhash_signatures(uniq, minhash_hashes, k=3)
+    banded = band_signatures(sig, minhash_hashes, bands=minhash_bands).persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(minhash_hashes), 4).alias("sig_sim"),
+        )
+        .filter(F.col("sig_sim") >= neardup_threshold)
+    )
+    cat_banded = band_signatures(
+        catalog.filter(F.col("sig").isNotNull()).select(
+            F.col("doc_id").alias("id"), "sig"
+        ),
+        minhash_hashes,
+        bands=minhash_bands,
+    ).alias("c")
+    matched = (
+        banded.alias("d")
+        .join(
+            cat_banded,
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.bkey") == F.col("c.bkey")),
+        )
+        .select(
+            F.col("d.id").alias("id"),
+            F.col("c.id").alias("cid"),
+            F.col("d.sig").alias("sig_a"),
+            F.col("c.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id", "cid"])
+        .select("id", F.round(agree / F.lit(minhash_hashes), 4).alias("sig_sim"))
+        .filter(F.col("sig_sim") >= neardup_threshold)
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    from yatsm_spark.operators.graph import neardup_clusters
+
+    cc = neardup_clusters(within)
+    bad_clusters = (
+        cc.join(matched, "doc_id", "left_semi").select("cluster_id").distinct()
+    )
+    drops = (
+        cc.join(bad_clusters, "cluster_id", "left_semi").select("doc_id")
+        .unionByName(cc.filter(~F.col("is_keeper")).select("doc_id"))
+        .unionByName(matched)
+        .distinct()
+    )
+    deduped = uniq.join(drops, "doc_id", "left_anti").persist()
+    m["neardup_dedup"] = deduped.count()
+    banded.unpersist()
+    uniq.unpersist()
+
+    # -- 3. quality + PII + splits (identical to batch stages 4-6)
+    rep = repetition_stats(deduped)
+    bad = rep.filter(
+        (F.col("dup_bigram_frac_x1e4") > max_dup_bigram_x1e4)
+        | (F.col("n_tokens") < min_tokens)
+    ).select("doc_id")
+    good = deduped.join(bad, "doc_id", "left_anti")
+    cleaned = hash_split(
+        good.select("doc_id", redact_pii("text").alias("text"), "lang"),
+        key_col="doc_id",
+    ).persist()
+    m["cleaned"] = cleaned.count()
+    deduped.unpersist()
+    return cleaned, m
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="crawl parquet dir (url, warc_ts, html, text, lang)")
@@ -178,6 +376,9 @@ def main() -> None:
     ap.add_argument("--token-budget", type=int, default=None,
                     help="greedy-pack to this many whitespace tokens, "
                          "best distinct-token fraction first")
+    ap.add_argument("--incremental", action="store_true",
+                    help="fold the input as a DELTA into an existing "
+                         "corpus at --output (requires its catalog)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -191,19 +392,46 @@ def main() -> None:
     else:
         raise SystemExit("need --input or --synthetic")
 
-    cleaned, metrics = clean_corpus(
-        crawl,
-        neardup_threshold=args.neardup_threshold,
-        max_dup_bigram_x1e4=int(round(args.max_dup_bigram * 10000)),
-        min_tokens=args.min_tokens,
-        domain_cap_n=args.domain_cap,
-        token_budget=args.token_budget,
-    )
-    # data under <output>/data so mode=overwrite cannot wipe the metrics
-    # history accumulating beside it in <output>/_meta
-    cleaned.write.mode("overwrite").partitionBy("split").parquet(
-        os.path.join(args.output, "data")
-    )
+    data_dir = os.path.join(args.output, "data")
+    catalog_dir = os.path.join(args.output, "catalog")
+
+    if args.incremental:
+        if args.domain_cap is not None or args.token_budget is not None:
+            # global selection depends on the WHOLE corpus; it cannot be
+            # maintained from a delta alone
+            raise SystemExit("--domain-cap/--token-budget require a batch run")
+        if not os.path.isdir(catalog_dir):
+            raise SystemExit(f"no catalog at {catalog_dir} — run batch first")
+        catalog = spark.read.parquet(catalog_dir)
+        cleaned, metrics = incremental_clean(
+            crawl,
+            catalog,
+            neardup_threshold=args.neardup_threshold,
+            max_dup_bigram_x1e4=int(round(args.max_dup_bigram * 10000)),
+            min_tokens=args.min_tokens,
+        )
+        # append data FIRST, catalog second: a crash between the two
+        # leaves re-addable duplicates (self-healing on the next run's
+        # quality/dedup), never corpus rows the catalog falsely claims
+        cleaned.write.mode("append").partitionBy("split").parquet(data_dir)
+        # ledger-append only urls not already cataloged (re-crawls stay
+        # on their first entry)
+        build_catalog(crawl).join(
+            spark.read.parquet(catalog_dir).select("doc_id"), "doc_id", "left_anti"
+        ).write.mode("append").parquet(catalog_dir)
+    else:
+        cleaned, metrics = clean_corpus(
+            crawl,
+            neardup_threshold=args.neardup_threshold,
+            max_dup_bigram_x1e4=int(round(args.max_dup_bigram * 10000)),
+            min_tokens=args.min_tokens,
+            domain_cap_n=args.domain_cap,
+            token_budget=args.token_budget,
+        )
+        # data under <output>/data so mode=overwrite cannot wipe the
+        # metrics history accumulating beside it in <output>/_meta
+        cleaned.write.mode("overwrite").partitionBy("split").parquet(data_dir)
+        build_catalog(crawl).write.mode("overwrite").parquet(catalog_dir)
     metrics["wall_s"] = round(time.time() - t0, 1)
 
     meta_dir = os.path.join(args.output, "_meta")

@@ -148,23 +148,14 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    n_hashes: int = 16,
-    bands: int = 4,
-    k: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """MinHash + LSH banding: candidate pairs whose signatures collide in
-    at least one band, with the exact signature-agreement fraction.
-
-    Returns (id_a, id_b, sig_sim).  rows-per-band shuffle is n_docs*bands;
-    the join key (band_id, band signature slice) bounds candidates.
-    """
+def band_signatures(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Explode (id, sig) into LSH band rows (id, sig, band, bkey) — the
+    shared banding step of :func:`minhash_lsh_pairs` and the incremental
+    delta-vs-catalog matcher (jobs/corpus.py).  bkey is the comma-joined
+    signature slice for the band: a pure function of sig, so catalogs
+    need only store signatures."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
-    banded = sig.select(
+    return sig.select(
         "id",
         "sig",
         F.explode(
@@ -185,6 +176,24 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", "sig", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding: candidate pairs whose signatures collide in
+    at least one band, with the exact signature-agreement fraction.
+
+    Returns (id_a, id_b, sig_sim).  rows-per-band shuffle is n_docs*bands;
+    the join key (band_id, band signature slice) bounds candidates.
+    """
+    sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
+    banded = band_signatures(sig, n_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
