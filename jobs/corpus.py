@@ -100,6 +100,7 @@ def clean_corpus(
     minhash_hashes: int = 16,
     domain_cap_n: int | None = None,
     token_budget: int | None = None,
+    lsh_max_bucket: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run stages 1-6; returns (cleaned corpus df, per-stage row counts).
 
@@ -120,8 +121,15 @@ def clean_corpus(
     snap.unpersist()
 
     # -- 3. near-dup clusters -> drop non-keepers
+    # lsh_max_bucket: hot-bucket star-edge guard (operators/dedup.py) —
+    # arm in production (boilerplate-heavy crawls form giant mutual-near-
+    # dup buckets whose all-pairs join is quadratic); None = exact pairs
     pairs = minhash_lsh_pairs(
-        uniq, n_hashes=minhash_hashes, bands=minhash_bands, k=3
+        uniq,
+        n_hashes=minhash_hashes,
+        bands=minhash_bands,
+        k=3,
+        max_bucket=lsh_max_bucket,
     ).filter(F.col("sig_sim") >= neardup_threshold)
     losers = neardup_clusters(pairs).filter(~F.col("is_keeper")).select("doc_id")
     deduped = uniq.join(losers, "doc_id", "left_anti").persist()
@@ -376,6 +384,9 @@ def main() -> None:
     ap.add_argument("--token-budget", type=int, default=None,
                     help="greedy-pack to this many whitespace tokens, "
                          "best distinct-token fraction first")
+    ap.add_argument("--lsh-max-bucket", type=int, default=None,
+                    help="LSH hot-bucket guard: buckets larger than N emit "
+                         "star edges (min-id root) instead of all pairs")
     ap.add_argument("--incremental", action="store_true",
                     help="fold the input as a DELTA into an existing "
                          "corpus at --output (requires its catalog)")
@@ -427,6 +438,7 @@ def main() -> None:
             min_tokens=args.min_tokens,
             domain_cap_n=args.domain_cap,
             token_budget=args.token_budget,
+            lsh_max_bucket=args.lsh_max_bucket,
         )
         # data under <output>/data so mode=overwrite cannot wipe the
         # metrics history accumulating beside it in <output>/_meta

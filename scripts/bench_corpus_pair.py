@@ -1,0 +1,134 @@
+"""Corpus-pipeline scaling pairs: the north_rule N-vs-4N evidence for the
+WEBTEXT axis (jobs/corpus.py::clean_corpus), companion to bench_pair.py's
+timeseries-tier campaign.
+
+No real cluster exists in this sandbox, so the two-cluster-size criterion
+(efficiency >= 0.8 from N to 4N executors) is evidenced by the SAME
+corpus-cleaning job on the SAME on-disk crawl at local[8] vs local[32]:
+
+    efficiency = (T_8 / T_32) / (32 / 8)
+
+Methodology (same as bench_pair.py): the host has invisible co-tenant
+load, so single-shot numbers are meaningless — run back-to-back PAIRS
+(noise hits both levels of a pair similarly), accumulate pairs across
+invocations into a JSONL, report min-of-N per level.
+
+Input: datagen.generate_webtext — the DIVERSE-text crawl (seeded-hash
+vocabulary, planted dup/near-dup/spam/PII families).  generate_crawl's
+boilerplate-padded text is the wrong corpus: every doc near-dups every
+other, all LSH buckets go corpus-sized, and the pair join is quadratic
+(measured: never finished at 120k docs).  The pipeline runs with the
+lsh_max_bucket=256 hot-bucket guard armed — the production config.
+
+Usage: python scripts/bench_corpus_pair.py [--docs 120000]
+       python scripts/bench_corpus_pair.py --summarize
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_OUT = "/root/repo/.benchdata/corpus_pairs.jsonl"
+
+
+def ensure_data(n_docs: int) -> str:
+    from yatsm_spark.datagen import generate_webtext, write_crawl
+    from yatsm_spark.session import get_spark
+
+    path = f"/root/repo/.benchdata/webtext_n{n_docs}"
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return path
+    spark = get_spark("webtext_datagen", master="local[32]")
+    t0 = time.time()
+    write_crawl(generate_webtext(spark, n_docs=n_docs), path)
+    n = spark.read.parquet(path).count()
+    print(f"generated {n} rows in {time.time()-t0:.0f}s -> {path}", file=sys.stderr)
+    spark.stop()
+    return path
+
+
+def run_once(crawl_path: str, cores: int) -> dict:
+    """One full clean_corpus pass; returns wall + stage metrics.
+
+    The pipeline's own persist().count() per stage are the actions; the
+    final corpus lands in a noop sink so shared-host disk saturation
+    (measured 14x swings on identical jobs) doesn't pollute the engine
+    scaling signal — same isolation rule as bench_pair.py's noop mode.
+    """
+    from jobs.corpus import clean_corpus
+    from yatsm_spark.session import get_spark
+
+    spark = get_spark(
+        f"corpus_pair{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=64,
+        extra_confs={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"},
+    )
+    crawl = spark.read.parquet(crawl_path)
+    t0 = time.time()
+    cleaned, metrics = clean_corpus(crawl, lsh_max_bucket=256)
+    cleaned.write.mode("overwrite").format("noop").save()
+    wall = time.time() - t0
+    cleaned.unpersist()
+    spark.stop()
+    return {"cores": cores, "wall": round(wall, 2), **metrics}
+
+
+def summarize(out_path: str) -> None:
+    rows = [json.loads(ln) for ln in open(out_path)] if os.path.exists(out_path) else []
+    if not rows:
+        print("no pairs recorded", file=sys.stderr)
+        return
+    by_cores: dict[int, list[float]] = {}
+    for r in rows:
+        by_cores.setdefault(r["cores"], []).append(r["wall"])
+    lo, hi = min(by_cores), max(by_cores)
+    t_lo, t_hi = min(by_cores[lo]), min(by_cores[hi])
+    docs = rows[0]["snapshot"]
+    out = {
+        "pairs": len(rows) // 2,
+        "walls": {str(c): sorted(v) for c, v in by_cores.items()},
+        f"min_local[{lo}]": t_lo,
+        f"min_local[{hi}]": t_hi,
+        f"docs_per_sec_local[{lo}]": round(docs / t_lo, 1),
+        f"docs_per_sec_local[{hi}]": round(docs / t_hi, 1),
+        "speedup": round(t_lo / t_hi, 3),
+        "parallelism_ratio": hi / lo,
+        "scaling_efficiency": round(t_lo / t_hi / (hi / lo), 3),
+        "gate": "PASS" if t_lo / t_hi / (hi / lo) >= 0.8 else "FAIL",
+    }
+    print(json.dumps(out, indent=2))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=120000)
+    ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--summarize", action="store_true")
+    args = ap.parse_args()
+
+    if args.summarize:
+        summarize(args.out)
+        return
+
+    crawl_path = ensure_data(args.docs)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # low cores first: if co-tenant noise ramps mid-pair it penalizes the
+    # HIGH leg, biasing efficiency DOWN — conservative for a PASS claim
+    for cores in (int(x) for x in args.levels.split(",")):
+        r = run_once(crawl_path, cores)
+        print(json.dumps(r), file=sys.stderr)
+        with open(args.out, "a") as fh:
+            fh.write(json.dumps(r) + "\n")
+    summarize(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -364,3 +364,61 @@ def test_duplicate_span_stats_hand_values(spark):
     # within-doc repeats don't flag: "p q r" occurs twice but in ONE doc
     assert (out[2].n_spans, out[2].n_dup_spans) == (6, 0)
     assert (out[3].n_spans, out[3].n_dup_spans, out[3].dup_span_frac_x1e4) == (0, 0, 0)
+
+
+def test_lsh_max_bucket_star_guard(spark):
+    """Hot-bucket guard: an oversized bucket emits star edges (B-1 pairs
+    to the min-id root) instead of all B(B-1)/2 pairs; small buckets keep
+    exact all-pairs semantics; cluster membership survives either way."""
+    from yatsm_spark.operators.dedup import minhash_lsh_pairs
+    from yatsm_spark.operators.graph import neardup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(f"d{i:03d}", base) for i in range(30)]  # one giant dup family
+    rows += [("x001", "one two three four five six seven"),
+             ("x002", "one two three four five six seven")]  # a small family
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    full = minhash_lsh_pairs(docs).toPandas()
+    star = minhash_lsh_pairs(docs, max_bucket=10).toPandas()
+    # 30-doc family: 435 all-pairs vs 29 star edges; small family untouched
+    assert len(full) == 435 + 1
+    assert len(star) == 29 + 1
+    big = star[star.id_a.str.startswith("d")]
+    assert (big.id_a == "d000").all()  # min-id root
+    assert (big.sig_sim == 1.0).all()
+    assert len(star[star.id_a == "x001"]) == 1
+
+    cc = neardup_clusters(
+        minhash_lsh_pairs(docs, max_bucket=10).filter("sig_sim >= 0.5")
+    ).toPandas()
+    fam = cc[cc.doc_id.str.startswith("d")]
+    assert fam.cluster_id.nunique() == 1 and len(fam) == 30
+
+
+def test_generate_webtext_planted_structure(spark):
+    """Diverse-text corpus generator: slot 7 is an exact dup of slot 0,
+    slots 8/9 near-dups, slot 6 of every 3rd block spam; bit-identical
+    under different parallelism (north_rule cluster-size invariance)."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.datagen import generate_webtext
+
+    wt = generate_webtext(spark, n_docs=100).cache()
+    txt = {r.url: r.text for r in wt.collect()}
+    u = lambda i: f"https://site{i % 5000}.example/p/{i}"  # noqa: E731
+    for b in range(10):
+        assert txt[u(b * 10 + 7)] == txt[u(b * 10)]
+        w0, w8 = txt[u(b * 10)].split(), txt[u(b * 10 + 8)].split()
+        if not txt[u(b * 10)].startswith("click here"):
+            same = sum(1 for x, y in zip(w0, w8) if x == y) / len(w0)
+            assert 0.80 <= same < 1.0
+    assert sum(1 for t in txt.values() if t.startswith("click here")) == 4
+    h1 = wt.select(F.md5(F.concat_ws("|", "url", "text", "lang")).alias("h"))
+    h2 = (
+        generate_webtext(spark, n_docs=100)
+        .repartition(7)
+        .select(F.md5(F.concat_ws("|", "url", "text", "lang")).alias("h"))
+    )
+    assert h1.exceptAll(h2).count() == 0 and h2.exceptAll(h1).count() == 0
+    wt.unpersist()

@@ -206,3 +206,124 @@ def write_crawl(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def generate_webtext(
+    spark: SparkSession,
+    n_docs: int = 120_000,
+    seed: int = SEED,
+) -> DataFrame:
+    """Deterministic DIVERSE-text crawl for the corpus-cleaning pipeline.
+
+    :func:`generate_crawl` pads every text with the SAME lorem-ipsum
+    filler — right for the timeseries axis (the signal is length(text)),
+    but as a corpus it is one giant near-dup family: every LSH band
+    bucket holds ~all docs and the candidate join goes quadratic
+    (measured: jobs/corpus.py on 120k such docs never finished the pair
+    stage).  This generator produces the corpus-shaped complement: a
+    ~50k-word vocabulary sampled per position by seeded hash, with
+    PLANTED duplicate structure in blocks of 10 docs —
+
+        slot 0-6 : independent docs (~100-500 words each)
+        slot 7   : exact duplicate of slot 0
+        slot 8   : near-dup of slot 0 (~5% of words mutated)
+        slot 9   : near-dup of slot 0 (~10% mutated)
+        slot 6 of every 3rd block: degenerate repeated-phrase spam
+        ~5% of seeds: a PII sentence (email + IPv4) appended
+
+    so exact dedup should drop ~10%, near-dup clustering ~20%, the
+    repetition quality gate ~3%, and redact_pii has real work — known
+    proportions the corpus bench and tests can assert against.
+
+    Same output schema/layout columns as generate_crawl (one observation
+    per url; snapshot's latest-crawl aggregate still exercises its
+    shuffle).  Pure seeded-hash Spark expressions — bit-identical at any
+    parallelism (north_rule cluster-size invariance), no rand(), no UDFs.
+    """
+    s = F.lit  # brevity for salt literals
+
+    base = (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("block", (F.col("doc_id") / 10).cast("bigint"))
+        .withColumn("slot", F.pmod("doc_id", s(10)))
+        # family members (slots 7-9) draw their words from slot 0's seed
+        .withColumn(
+            "seed_id",
+            F.when(F.col("slot") >= 7, F.col("block") * 10).otherwise(F.col("doc_id")),
+        )
+        .withColumn(
+            "n_words",
+            (100 + F.pmod(F.xxhash64("seed_id", s(seed + 21)), s(400))).cast("int"),
+        )
+        .withColumn(
+            "mut_pct",
+            F.when(F.col("slot") == 8, 5).when(F.col("slot") == 9, 10).otherwise(0),
+        )
+    )
+
+    doc_id, seed_id = F.col("doc_id"), F.col("seed_id")
+    words = F.transform(
+        F.sequence(s(1), F.col("n_words")),
+        lambda i: F.when(
+            F.pmod(F.xxhash64(doc_id, i, s(seed + 23)), s(100)) < F.col("mut_pct"),
+            F.concat(s("m"), F.pmod(F.xxhash64(doc_id, i, s(seed + 24)), s(50_000))),
+        ).otherwise(
+            F.concat(s("w"), F.pmod(F.xxhash64(seed_id, i, s(seed + 22)), s(50_000)))
+        ),
+    )
+    spam = F.rpad(s("click here buy now "), 950, "click here buy now ")
+    pii = F.concat(
+        s(" contact user"),
+        F.pmod(F.xxhash64(seed_id, s(seed + 26)), s(1000)),
+        s("@example.com at 10.0."),
+        F.pmod(F.xxhash64(seed_id, s(seed + 27)), s(256)),
+        s(".7"),
+    )
+
+    lang = (
+        F.when(_u("seed_id", salt=seed + 28) < 0.60, "en")
+        .when(_u("seed_id", salt=seed + 28) < 0.75, "de")
+        .when(_u("seed_id", salt=seed + 28) < 0.85, "fr")
+        .when(_u("seed_id", salt=seed + 28) < 0.95, "es")
+        .otherwise("und")
+    )
+
+    return (
+        base.withColumn(
+            "text",
+            F.when(
+                (F.col("slot") == 6) & (F.pmod("block", s(3)) == 0), spam
+            ).otherwise(
+                F.concat(
+                    F.array_join(words, " "),
+                    F.when(
+                        F.pmod(F.xxhash64(seed_id, s(seed + 25)), s(20)) == 0, pii
+                    ).otherwise(s("")),
+                )
+            ),
+        )
+        .withColumn(
+            "url",
+            F.format_string(
+                "https://site%d.example/p/%d",
+                F.pmod("doc_id", s(5000)).cast("int"),
+                F.col("doc_id").cast("int"),
+            ),
+        )
+        .withColumn(
+            "warc_ts",
+            F.to_timestamp(s(START_TS))
+            + F.make_interval(secs=F.pmod("doc_id", s(259_200)).cast("double")),
+        )
+        .withColumn("lang", lang)
+        .withColumn(
+            "html",
+            F.encode(
+                F.concat(s("<html><body>"), F.col("text"), s("</body></html>")), "UTF-8"
+            ),
+        )
+        .withColumn("p_bucket", F.pmod(F.hash("url"), F.lit(N_BUCKETS)).cast("int"))
+        .withColumn("p_day", F.to_date("warc_ts"))
+        .select("url", "warc_ts", "html", "text", "lang", "p_bucket", "p_day")
+    )

@@ -185,38 +185,94 @@ def minhash_lsh_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: candidate pairs whose signatures collide in
     at least one band, with the exact signature-agreement fraction.
 
     Returns (id_a, id_b, sig_sim).  rows-per-band shuffle is n_docs*bands;
     the join key (band_id, band signature slice) bounds candidates.
+
+    ``max_bucket`` is the hot-bucket scale guard.  A band bucket with B
+    members yields B(B-1)/2 candidate pairs — fine while buckets are
+    collision-sized, quadratic death when a corpus contains a giant
+    mutual-near-dup family (measured: 120k boilerplate docs share every
+    bucket; the self-join is ~7e9 pairs and never finishes).  With
+    ``max_bucket=N``, buckets larger than N emit STAR edges instead:
+    each member pairs only with the bucket's min id (B-1 pairs).  For the
+    connected-components consumer (operators/graph.py::neardup_clusters)
+    the star keeps every member reachable from the same root, so cluster
+    MEMBERSHIP is preserved whenever root-member similarity clears the
+    caller's threshold — the regime a giant bucket implies (its members
+    already agree on a whole signature band).  Pair-level recall between
+    non-root members of oversized buckets is deliberately sacrificed;
+    None (default) = exact all-pairs semantics.
     """
     sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
     banded = band_signatures(sig, n_hashes, bands)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
+
+    if max_bucket is None:
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
+        ).select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    else:
+        # one extra aggregate on the banding key classifies buckets; both
+        # branches stay (band, bkey) equi-joins — nothing quadratic left
+        stats = banded.groupBy("band", "bkey").agg(
+            F.count("*").alias("_bn"), F.min("id").alias("_rid")
+        )
+        small = banded.join(
+            stats.filter(F.col("_bn") <= max_bucket).select("band", "bkey"),
+            ["band", "bkey"],
+            "left_semi",
+        )
+        a, b = small.alias("a"), small.alias("b")
+        cand_small = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        big = banded.join(
+            stats.filter(F.col("_bn") > max_bucket).select("band", "bkey", "_rid"),
+            ["band", "bkey"],
+        )
+        roots = big.filter(F.col("id") == F.col("_rid")).select(
+            "band", "bkey", F.col("sig").alias("_rsig")
+        )
+        cand_big = (
+            big.filter(F.col("id") != F.col("_rid"))
+            .join(roots, ["band", "bkey"])
+            .select(
+                F.col("_rid").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("_rsig").alias("sig_a"),
+                F.col("sig").alias("sig_b"),
+            )
+        )
+        cand = cand_small.unionByName(cand_big)
+
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
-    return cand.select(
+    return cand.dropDuplicates(["id_a", "id_b"]).select(
         "id_a", "id_b", F.round(agree / F.lit(n_hashes), 4).alias("sig_sim")
     )
 
