@@ -23,7 +23,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from yatsm_spark.functions.textops import (
@@ -37,21 +37,21 @@ from yatsm_spark.functions.textops import (
 def shingle_rows(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Distinct word k-shingles as rows (id, s) via posexplode + lead.
+    """Distinct word k-shingles as rows (id, s).
 
-    One window shuffle on the doc id, linear work per token.  This beats
-    the pure-expression array form (functions/textops.py::shingles) by ~5x
-    at 5k docs because Catalyst re-inlines the split() into every
-    element_at, making the array form O(tokens^2) per row.
+    Array-level shingling (:func:`shingle_array` — map-side, O(k*T) per
+    doc) exploded straight to rows; the only wide stage left is the
+    distinct itself.  This replaces the posexplode+window-lead form,
+    which shuffle-SORTED every token row before forming shingles (same
+    output, one whole extra wide stage; at 480k docs / 144M shingles the
+    window sort dominated the LSH-pair stage).  The naive per-element
+    element_at form remains off the table — Catalyst re-inlines split()
+    into every element, O(T^2) per row (measured 5x slower at 5k docs);
+    zip_with of k offset slices re-evaluates split() only k times per ROW.
     """
-    tok = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(F.split(text_col, " ")).alias("pos", "t")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    cur = [F.col("t")] + [F.lead("t", j).over(w).alias(f"_t{j}") for j in range(1, k)]
-    sh = tok.select("id", *cur).filter(F.col(f"_t{k-1}").isNotNull())
-    return sh.select(
-        "id", F.concat_ws(" ", "t", *[f"_t{j}" for j in range(1, k)]).alias("s")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(text_col, k)).alias("s"),
     ).distinct()
 
 
@@ -116,6 +116,29 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_array(text_col: str | F.Column, k: int = 3) -> F.Column:
+    """Word k-shingles as an ARRAY column — zero-shuffle shingling.
+
+    k offset slices of split(text) zip-concatenated: split() re-evaluates
+    k times per ROW (array-level exprs, Catalyst inlines the alias), not
+    once per token — O(k*T) per doc, unlike the per-element element_at
+    form (O(T^2), textops.py::shingles) or the posexplode+window form
+    (:func:`shingle_rows`, which shuffle-sorts every token row).  Docs
+    with fewer than k tokens yield an empty array (clamped slice length).
+    Multiset semantics: repeated shingles stay repeated.
+    """
+    toks = F.split(text_col, " ")
+    n_sh = F.greatest(F.size(toks) - k + 1, F.lit(0))
+    sh = F.slice(toks, 1, n_sh)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh,
+            F.slice(toks, j + 1, n_sh),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return sh
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 16,
@@ -123,20 +146,30 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signatures via explode + one hash-aggregate shuffle.
+    """MinHash signatures via array-level shingling + one thin aggregate.
 
-    (id, sig: array<bigint>[n_hashes]).  The n minima are n algebraic
-    ``min`` aggregates over the exploded shingle hashes — partial agg
-    absorbs them map-side, and the plan stays a single shallow expression
-    per hash fn (the pure-expression array formulation in
-    functions/textops.py::minhash_sig duplicates the shingle subtree
-    n_hashes times and chokes codegen at width 16 — measured 226s vs 3s on
-    500 docs).  Docs with fewer than k tokens have no shingles and are
-    dropped (no signature is defined for an empty set).
+    (id, sig: array<bigint>[n_hashes]).  Shingles come from
+    :func:`shingle_array` (map-side, no window), explode feeds the
+    groupBy DIRECTLY: min is duplicate-insensitive, so MinHash needs no
+    distinct() — and with no shuffle between scan and aggregate, partial
+    aggregation collapses every doc's shingles to one 16-min row map-side.
+    The only shuffle is n_docs signature rows (~150 B each) instead of
+    the window+distinct+agg chain over every shingle occurrence row
+    (measured at 480k docs / 144M shingles: the LSH-pair stage fell
+    263s -> 80s at local[8]).  The n minima are n algebraic ``min``
+    aggregates — one shallow codegen expression per hash fn (the
+    pure-expression array formulation in textops.py::minhash_sig
+    duplicates the shingle subtree n_hashes times and chokes codegen at
+    width 16 — measured 226s vs 3s on 500 docs).  Docs with fewer than k
+    tokens have no shingles and are dropped (no signature is defined for
+    an empty set).  Values are bit-identical to the shingle_rows
+    formulation (same shingle strings, same md5 hash, min over a
+    multiset == min over its set) — pinned by tests.
     """
-    ex = shingle_rows(docs, k, id_col, text_col).select(
-        "id", portable_hash64(F.col("s")).alias("hv")
-    )
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(text_col, k)).alias("s"),
+    ).select("id", portable_hash64(F.col("s")).alias("hv"))
     aggs = [
         F.min((F.col("hv") * (2 * i + 1) + 7919 * (i + 1)) % _PRIME).alias(f"_h{i}")
         for i in range(n_hashes)
@@ -310,16 +343,9 @@ def duplicate_span_stats(
     moderate scale and the join stays a shuffle equi-join (never
     all-pairs) beyond that.
     """
-    tok = docs.select(
+    sp = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(text_col, " ")).alias("pos", "t"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    cur = [F.col("t")] + [F.lead("t", j).over(w).alias(f"_t{j}") for j in range(1, k)]
-    sp = (
-        tok.select("id", *cur)
-        .filter(F.col(f"_t{k-1}").isNotNull())
-        .select("id", F.concat_ws(" ", "t", *[f"_t{j}" for j in range(1, k)]).alias("s"))
+        F.explode(shingle_array(text_col, k)).alias("s"),
     )
     xdoc = (
         sp.select("s", "id")

@@ -14,12 +14,13 @@ Training-data-pipeline operators (task brief first-class components):
     standard eval-leak guard, cf. GPT-3 appendix C methodology).
 
 Scale notes (100 TB design):
-  * repetition_stats: explode -> two-level aggregate.  The (id, token)
-    pre-aggregate is algebraic, so map-side partial aggregation bounds
-    the shuffle by the per-partition DISTINCT token count, not token
-    count; everything after is one id-keyed aggregate.  No O(n_tokens^2)
-    array expressions (array_distinct/transform chains re-inline the
-    tokenizer per element — measured quadratic in dedup.shingle_rows).
+  * repetition_stats: entirely map-side — every signal is a per-doc
+    function of the token array (array_distinct set sizes, a linear
+    aggregate() fold over the sorted array for top-token multiplicity),
+    so the corpus never shuffles at all.  Array exprs here are safe
+    because each is evaluated once per ROW; the O(n_tokens^2) trap is
+    per-ELEMENT lambdas that re-inline the tokenizer (element_at chains
+    — measured quadratic in dedup.shingle_array's docstring).
   * decontaminate: the benchmark side aggregates to DISTINCT k-grams
     first — at any realistic benchmark size (≤ millions of k-grams) that
     side broadcasts, so the flagging pass is a map-side broadcast
@@ -39,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from yatsm_spark.operators.dedup import shingle_rows
+from yatsm_spark.operators.dedup import shingle_array, shingle_rows
 
 
 def _x1e4(num, den) -> F.Column:
@@ -67,44 +68,55 @@ def repetition_stats(
     has < 2 tokens).  Docs with empty text still emit a row (n_tokens
     counts the single empty token, matching split semantics both engines).
     """
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(text_col, " ")).alias("pos", "t"),
+    # Entirely MAP-SIDE: every signal is a per-doc function of the token
+    # array, so nothing shuffles at all (the former two-level (id, token)
+    # / (id, bigram) aggregates shuffled ~2 rows per corpus token — at
+    # design scale that is two corpus-sized exchanges for four per-row
+    # numbers).  Value-identical: same counts, same _x1e4 algebra —
+    # pinned by the hand-value tests and the docs_repetition oracle.
+    #   n_distinct     size(array_distinct(toks))    (hash-set, O(T)/row)
+    #   top_c          max equal-run length over the SORTED token array,
+    #                  one linear aggregate() fold
+    #   bigram stats   shingle_array(k=2): n_bi = T-1, distinct via set
+    toks = F.split(F.col(text_col), " ")
+    srt = F.array_sort(toks)
+    top_c = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                    F.lit(1).cast("bigint")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    uni = (
-        tok.groupBy("id", "t")
-        .agg(F.count("*").alias("c"))
-        .groupBy("id")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count("*").alias("n_distinct"),
-            F.max("c").alias("top_c"),
+    bigrams = shingle_array(text_col, 2)
+    n_tokens = F.size(toks).cast("bigint")
+    n_bi = F.size(bigrams).cast("bigint")
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        _x1e4(F.size(F.array_distinct(toks)).cast("bigint"), n_tokens).alias(
+            "distinct_frac_x1e4"
+        ),
+        _x1e4(top_c, n_tokens).alias("top_token_frac_x1e4"),
+        F.when(
+            n_bi > 0,
+            _x1e4(n_bi - F.size(F.array_distinct(bigrams)).cast("bigint"), n_bi),
         )
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    big = (
-        tok.withColumn("t2", F.lead("t").over(w))
-        .filter(F.col("t2").isNotNull())
-        .select("id", F.concat_ws(" ", "t", "t2").alias("bg"))
-    )
-    bi = (
-        big.groupBy("id", "bg")
-        .agg(F.count("*").alias("c"))
-        .groupBy("id")
-        .agg(F.sum("c").alias("n_bi"), F.count("*").alias("n_bi_distinct"))
-    )
-    return (
-        uni.join(bi, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n_tokens"),
-            _x1e4(F.col("n_distinct"), F.col("n_tokens")).alias("distinct_frac_x1e4"),
-            _x1e4(F.col("top_c"), F.col("n_tokens")).alias("top_token_frac_x1e4"),
-            F.coalesce(
-                _x1e4(F.col("n_bi") - F.col("n_bi_distinct"), F.col("n_bi")),
-                F.lit(0).cast("bigint"),
-            ).alias("dup_bigram_frac_x1e4"),
-        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("dup_bigram_frac_x1e4"),
     )
 
 
