@@ -284,12 +284,18 @@ def incremental_clean(
     sig = minhash_signatures(uniq, minhash_hashes, k=3)
     banded = band_signatures(sig, minhash_hashes, bands=minhash_bands).persist()
     a, b = banded.alias("a"), banded.alias("b")
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
+
+    # sig_sim computed IN the join select (before the pair-dedup): it is
+    # identical on every duplicate of a pair, so the dropDuplicates
+    # exchange moves (id, id, double) rows, never the signature arrays
+    def _agree(sx: F.Column, sy: F.Column) -> F.Column:
+        return F.size(
+            F.filter(
+                F.zip_with(sx, sy, lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
         )
-    )
+
     within = (
         a.join(
             b,
@@ -300,15 +306,11 @@ def incremental_clean(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.round(
+                _agree(F.col("a.sig"), F.col("b.sig")) / F.lit(minhash_hashes), 4
+            ).alias("sig_sim"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            F.round(agree / F.lit(minhash_hashes), 4).alias("sig_sim"),
-        )
         .filter(F.col("sig_sim") >= neardup_threshold)
     )
     cat_banded = band_signatures(
@@ -327,12 +329,10 @@ def incremental_clean(
         )
         .select(
             F.col("d.id").alias("id"),
-            F.col("c.id").alias("cid"),
-            F.col("d.sig").alias("sig_a"),
-            F.col("c.sig").alias("sig_b"),
+            F.round(
+                _agree(F.col("d.sig"), F.col("c.sig")) / F.lit(minhash_hashes), 4
+            ).alias("sig_sim"),
         )
-        .dropDuplicates(["id", "cid"])
-        .select("id", F.round(agree / F.lit(minhash_hashes), 4).alias("sig_sim"))
         .filter(F.col("sig_sim") >= neardup_threshold)
         .select(F.col("id").alias("doc_id"))
         .distinct()

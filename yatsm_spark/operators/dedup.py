@@ -305,9 +305,12 @@ def minhash_lsh_pairs(
             lambda v: v == 1,
         )
     )
-    return cand.dropDuplicates(["id_a", "id_b"]).select(
+    # score BEFORE the pair-dedup: sig_sim is identical on every duplicate
+    # of a pair (same signatures), so the dropDuplicates exchange moves
+    # (id, id, double) instead of two 16-element bigint arrays per row
+    return cand.select(
         "id_a", "id_b", F.round(agree / F.lit(n_hashes), 4).alias("sig_sim")
-    )
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def simhash_docs(
