@@ -627,6 +627,20 @@ def _q_minhash_lsh_pairs(spark, sf):
     return minhash_lsh_pairs(_t(spark, sf, "documents"), n_hashes=16, bands=4, k=3)
 
 
+def _q_minhash_lsh_guarded(spark, sf):
+    """The hot-bucket STAR-GUARD path of minhash_lsh_pairs — HASH-CHECKED.
+    max_bucket=2 forces the guard to fire on the sf tables (largest real
+    bucket is 3 members): oversized buckets emit min-id-root star edges,
+    small buckets keep exact all-pairs.  The DuckDB oracle re-derives the
+    full split — bucket populations, roots, star vs all-pairs branches —
+    from the oracled signatures."""
+    from yatsm_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), n_hashes=16, bands=4, k=3, max_bucket=2
+    )
+
+
 def _pii_augmented_text() -> F.Column:
     """Deterministic PII injection for the redaction query: the synthetic
     corpus has no emails/IPs, so both engines append the SAME derived
@@ -909,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_range_read": _q_blob_range_read,
         "salted_event_stats": _q_salted_stats,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "minhash_lsh_guarded": _q_minhash_lsh_guarded,
         "neardup_clusters": _q_neardup_clusters,
         "docs_pii_redact": _q_docs_pii_redact,
         "docs_repetition": _q_docs_repetition,
@@ -1327,6 +1342,46 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
                      AND a.doc_id < b.doc_id),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN x.sig_val = y.sig_val THEN 1 ELSE 0 END) AS n_eq
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.id_a
+  JOIN sig y ON y.doc_id = c.id_b AND y.i = x.i
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(n_eq / 16.0, 4) AS sig_sim FROM agree
+"""
+
+# the max_bucket=2 star-guard split: buckets with <=2 members emit exact
+# all-pairs, larger buckets emit (min-id root, member) star edges only
+_MINHASH_LSH_GUARDED = f"""
+WITH {_SHINGLES_CTE},
+e AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE len(s) > 0),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM e),
+sig AS (
+  SELECT doc_id, i, min((hv * (2 * i + 1) + 7919 * (i + 1)) % 2147483647) AS sig_val
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) idx
+  GROUP BY doc_id, i),
+bk AS (
+  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         string_agg(sig_val::VARCHAR, ',' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
+bstat AS (
+  SELECT band, bkey, count(*) AS bn, min(doc_id) AS rid
+  FROM bk GROUP BY 1, 2),
+small_cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a
+  JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  JOIN bstat s ON s.band = a.band AND s.bkey = a.bkey AND s.bn <= 2),
+star_cand AS (
+  SELECT s.rid AS id_a, m.doc_id AS id_b
+  FROM bk m
+  JOIN bstat s ON s.band = m.band AND s.bkey = m.bkey AND s.bn > 2
+              AND m.doc_id <> s.rid),
+cand AS (
+  SELECT DISTINCT id_a, id_b
+  FROM (SELECT * FROM small_cand UNION ALL SELECT * FROM star_cand)),
 agree AS (
   SELECT c.id_a, c.id_b,
          sum(CASE WHEN x.sig_val = y.sig_val THEN 1 ELSE 0 END) AS n_eq
@@ -1797,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_media_synth": _MULTIMODAL_GOLDEN,
         # approximate-but-DETERMINISTIC ops, fully reproduced in SQL:
         "minhash_lsh_pairs": _MINHASH_LSH,
+        "minhash_lsh_guarded": _MINHASH_LSH_GUARDED,
         "neardup_clusters": _NEARDUP_CLUSTERS,
         "docs_pii_redact": _DOCS_PII,
         "docs_repetition": _DOCS_REPETITION,
