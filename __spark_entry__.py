@@ -641,6 +641,22 @@ def _q_minhash_lsh_guarded(spark, sf):
     )
 
 
+def _q_docs_content_drift(spark, sf):
+    """Per-key CONTENT change-points (SimHash Hamming lag) — HASH-CHECKED.
+    The documents table is folded into 40 synthetic url series (url_id =
+    doc_id % 40, ordered by doc_id); the DuckDB twin re-derives the
+    (already-oracled) 32-bit simhash, lags it per series, and applies the
+    same bit_count(xor) >= 6 drift rule."""
+    from yatsm_spark.operators.series import content_drift
+
+    docs = _t(spark, sf, "documents").select(
+        F.pmod("doc_id", F.lit(40)).alias("url_id"), "doc_id", "text"
+    )
+    return content_drift(
+        docs, bits=32, threshold=6, key_col="url_id", order_col="doc_id"
+    )
+
+
 def _pii_augmented_text() -> F.Column:
     """Deterministic PII injection for the redaction query: the synthetic
     corpus has no emails/IPs, so both engines append the SAME derived
@@ -924,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_stats": _q_salted_stats,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_guarded": _q_minhash_lsh_guarded,
+        "docs_content_drift": _q_docs_content_drift,
         "neardup_clusters": _q_neardup_clusters,
         "docs_pii_redact": _q_docs_pii_redact,
         "docs_repetition": _q_docs_repetition,
@@ -1350,6 +1367,30 @@ agree AS (
   JOIN sig y ON y.doc_id = c.id_b AND y.i = x.i
   GROUP BY 1, 2)
 SELECT id_a, id_b, round(n_eq / 16.0, 4) AS sig_sim FROM agree
+"""
+
+# per-series simhash lag drift: reuses the docs_simhash32 derivation CTE
+_DOCS_CONTENT_DRIFT = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+bits AS (
+  SELECT doc_id, idx.i AS bit,
+         sum(CASE WHEN (hv >> CAST(idx.i AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) idx
+  GROUP BY 1, 2),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN power(2, bit) ELSE 0 END) AS BIGINT) AS sh
+  FROM bits GROUP BY doc_id),
+lagd AS (
+  SELECT doc_id % 40 AS url_id, doc_id,
+         bit_count(xor(sh, lag(sh) OVER (PARTITION BY doc_id % 40 ORDER BY doc_id)))
+           ::BIGINT AS hamming
+  FROM sim)
+SELECT url_id, doc_id, hamming,
+       CASE WHEN hamming >= 6 THEN 1 ELSE 0 END AS drift
+FROM lagd WHERE hamming IS NOT NULL
 """
 
 # the max_bucket=2 star-guard split: buckets with <=2 members emit exact
@@ -1853,6 +1894,7 @@ def oracle_sql() -> dict[str, str]:
         # approximate-but-DETERMINISTIC ops, fully reproduced in SQL:
         "minhash_lsh_pairs": _MINHASH_LSH,
         "minhash_lsh_guarded": _MINHASH_LSH_GUARDED,
+        "docs_content_drift": _DOCS_CONTENT_DRIFT,
         "neardup_clusters": _NEARDUP_CLUSTERS,
         "docs_pii_redact": _DOCS_PII,
         "docs_repetition": _DOCS_REPETITION,

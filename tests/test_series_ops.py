@@ -100,3 +100,25 @@ def test_top_k_deterministic_ties(spark):
     )
     out = top_k_keys(df, 2, ("url",)).collect()
     assert [(r["url"], r["cnt"]) for r in out] == [("a", 2), ("b", 2)]
+
+
+def test_content_drift_hand_values(spark):
+    """Identical re-crawl -> hamming 0 / no drift; rewritten text -> high
+    hamming / drift; the first observation of a key emits no row."""
+    from yatsm_spark.operators.series import content_drift
+
+    rows = [
+        ("a", 1, "the quick brown fox jumps over the lazy dog"),
+        ("a", 2, "the quick brown fox jumps over the lazy dog"),  # identical
+        ("a", 3, "completely different words about spark engines now"),
+        ("b", 1, "single observation never pairs"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text"])
+    out = {
+        (r.url, r.warc_ts): (r.hamming, r.drift)
+        for r in content_drift(df, bits=32, threshold=6).collect()
+    }
+    assert set(out) == {("a", 2), ("a", 3)}  # no first-obs rows, none for b
+    assert out[("a", 2)] == (0, 0)
+    h3, d3 = out[("a", 3)]
+    assert h3 >= 6 and d3 == 1

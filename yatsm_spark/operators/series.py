@@ -14,6 +14,8 @@ Operators (SURVEY.md §2.4):
   * :func:`asof_prev_event`— J3 as-of lookup realized as a running window
   * :func:`window_deltas`  — A14 lag/lead/row_number analytics
   * :func:`top_k_keys`     — A9 heavy-hitter keys (TakeOrderedAndProject)
+  * :func:`content_drift`  — K6 analog over TEXT: per-key simhash-lag
+    Hamming change-points (content rewrites, not numeric drift)
 
 Scale notes (100 TB design):
   * Every operator here is a single shuffle on its key (hash agg or window);
@@ -360,3 +362,52 @@ def sliding_mean(
             f"sum_{value_col}", F.sum(value_col).over(w)
         ).withColumn("n_win", F.count(value_col).over(w))
     return tier_df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def content_drift(
+    df: DataFrame,
+    bits: int = 32,
+    threshold: int = 6,
+    key_col: str = "url",
+    order_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-key CONTENT change-points: SimHash Hamming distance between
+    consecutive observations of a text series — the webtext twin of the
+    CCDC numeric break detector (K6 watches length(text) drift; this
+    watches what the page SAYS).  A re-crawl whose text is a near-dup of
+    the previous crawl has Hamming distance ~0-2; a rewrite jumps to
+    ~bits/2 (independent simhashes agree per bit with p=0.5).
+
+    Returns one row per consecutive pair:
+        (key, order, hamming: bigint, drift: int[0/1])
+    with drift = 1 iff hamming >= threshold.  The first observation of a
+    key emits no row (no predecessor).
+
+    Scale shape: simhash64 is map-side (single-pass vote-vector
+    aggregate); the lag needs ONE window exchange+sort on the key — the
+    same (url, warc_ts) ordering every kernel stage uses, so on the
+    url-bucketed presorted tier layout (sources/storage.py) the exchange
+    vanishes.  Cost is independent of text size after the hash.
+
+    Reference analog: YATSM's Shewhart screen flags numeric residual
+    jumps [U]; this is the same one-lag change test on a content hash.
+    """
+    from yatsm_spark.functions.textops import simhash64
+
+    sh = df.select(
+        F.col(key_col),
+        F.col(order_col),
+        simhash64(text_col, bits).alias("_sh"),
+    )
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    prev = F.lag("_sh").over(w)
+    return (
+        sh.select(
+            key_col,
+            order_col,
+            F.bit_count(prev.bitwiseXOR(F.col("_sh"))).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming").isNotNull())
+        .withColumn("drift", (F.col("hamming") >= threshold).cast("int"))
+    )
