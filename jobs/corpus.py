@@ -59,7 +59,10 @@ from yatsm_spark.functions.textops import (  # noqa: E402
     redact_pii,
 )
 from yatsm_spark.operators.dedup import exact_dedup, minhash_lsh_pairs  # noqa: E402
-from yatsm_spark.operators.graph import neardup_clusters  # noqa: E402
+from yatsm_spark.operators.graph import (  # noqa: E402
+    neardup_clusters,
+    release_components,
+)
 from yatsm_spark.operators.quality import repetition_stats  # noqa: E402
 from yatsm_spark.session import get_spark  # noqa: E402
 
@@ -131,9 +134,11 @@ def clean_corpus(
         k=3,
         max_bucket=lsh_max_bucket,
     ).filter(F.col("sig_sim") >= neardup_threshold)
-    losers = neardup_clusters(pairs).filter(~F.col("is_keeper")).select("doc_id")
+    clusters = neardup_clusters(pairs)
+    losers = clusters.filter(~F.col("is_keeper")).select("doc_id")
     deduped = uniq.join(losers, "doc_id", "left_anti").persist()
     m["neardup_dedup"] = deduped.count()
+    release_components(clusters)  # deduped is materialized; free the CC blocks
     uniq.unpersist()
 
     # -- 4. quality filter
@@ -337,8 +342,6 @@ def incremental_clean(
         .select(F.col("id").alias("doc_id"))
         .distinct()
     )
-    from yatsm_spark.operators.graph import neardup_clusters
-
     cc = neardup_clusters(within)
     bad_clusters = (
         cc.join(matched, "doc_id", "left_semi").select("cluster_id").distinct()
@@ -351,6 +354,7 @@ def incremental_clean(
     )
     deduped = uniq.join(drops, "doc_id", "left_anti").persist()
     m["neardup_dedup"] = deduped.count()
+    release_components(cc)  # deduped is materialized; free the CC blocks
     banded.unpersist()
     uniq.unpersist()
 

@@ -422,3 +422,28 @@ def test_generate_webtext_planted_structure(spark):
     )
     assert h1.exceptAll(h2).count() == 0 and h2.exceptAll(h1).count() == 0
     wt.unpersist()
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """Each CC call must leave exactly ONE persisted block set (the
+    result) and release_components must free that too — superseded
+    per-round localCheckpoints leaked for the session lifetime before."""
+    from yatsm_spark.operators.graph import (
+        _persistent_ids,
+        neardup_clusters,
+        release_components,
+    )
+
+    sc = spark.sparkContext
+    before = _persistent_ids(sc)
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (21, 22)],
+        "id_a long, id_b long",
+    )
+    out = neardup_clusters(df)
+    n_rows = out.count()
+    held = _persistent_ids(sc) - before
+    assert len(held) == 1, f"expected 1 surviving checkpoint, got {held}"
+    release_components(out)
+    assert _persistent_ids(sc) - before == set()
+    assert n_rows > 0

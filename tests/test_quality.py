@@ -165,3 +165,38 @@ def test_pack_token_budget_matches_bruteforce(spark):
             cum += w
             want.add(i)
         assert got == want, budget
+
+
+def test_repetition_stats_null_text_emits_row(spark):
+    """NULL text coalesces to '' (one empty token) — a quality gate built
+    as an anti-join on the flagged set cannot be bypassed by null text."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].n_tokens == 1 and out[1].n_tokens == 1
+    assert out[0].dup_bigram_frac_x1e4 == 0
+
+
+def test_x1e4_exact_past_bigint_wrap(spark):
+    """_x1e4 arithmetic is decimal(38,0): 20000*num in bigint wraps past
+    num ~ 4.6e14; product-shaped inputs (terms.py tf*N) reach ~1e37."""
+    from yatsm_spark.operators.quality import _x1e4
+
+    from decimal import Decimal
+
+    cases = [
+        (10**18, 3 * 10**18),            # 10000/3 -> 3333 (half-up)
+        (5 * 10**17, 10**18),            # exactly .5 -> 5000
+        (7, 2 * 10**18),                 # rounds to 0
+    ]
+    df = spark.createDataFrame(
+        [(Decimal(n), Decimal(d)) for n, d in cases],
+        "num decimal(38,0), den decimal(38,0)",
+    )
+    got = [
+        r.v for r in df.select(_x1e4(F.col("num"), F.col("den")).alias("v"))
+        .collect()
+    ]
+    assert got == [3333, 5000, 0]

@@ -45,8 +45,9 @@ def test_stream_neardup_detects_pair(spark, tmp_path):
 
 
 def test_stream_neardup_pairs_invariant_to_batch_slicing(spark, tmp_path):
-    """Same docs over 1 batch vs 3 one-file batches -> same PAIR SET
-    (orientation follows arrival order; the set is the contract)."""
+    """Same docs over 1 batch vs 3 one-file batches -> same PAIR SET.
+    Orientation is NORMALIZED (id_a < id_b), so the tuples themselves —
+    not just the frozensets — must match across slicings."""
     one = str(tmp_path / "one")
     _write(spark, one, [("a", D_BASE), ("b", D_NEAR), ("d", D_BASE + " extra")])
     split = str(tmp_path / "split")
@@ -54,12 +55,12 @@ def test_stream_neardup_pairs_invariant_to_batch_slicing(spark, tmp_path):
     _write(spark, split, [("b", D_NEAR)])
     _write(spark, split, [("d", D_BASE + " extra")])
 
-    p_one = {frozenset((r.id_a, r.id_b)) for r in _run(spark, one, "t_nd_a")}
-    p_split = {
-        frozenset((r.id_a, r.id_b))
-        for r in _run(spark, split, "t_nd_b", max_files=1)
-    }
-    assert p_one == p_split and frozenset(("a", "b")) in p_one
+    r_one = _run(spark, one, "t_nd_a")
+    r_split = _run(spark, split, "t_nd_b", max_files=1)
+    assert all(r.id_a < r.id_b for r in r_one + r_split)
+    p_one = {(r.id_a, r.id_b) for r in r_one}
+    p_split = {(r.id_a, r.id_b) for r in r_split}
+    assert p_one == p_split and ("a", "b") in p_one
 
 
 def test_stream_neardup_recrawl_not_self_paired(spark, tmp_path):

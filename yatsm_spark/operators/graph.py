@@ -49,6 +49,60 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _persistent_ids(sc) -> set[int]:
+    """Ids of all currently persisted RDDs (public SparkContext API)."""
+    it = sc._jsc.sc().getPersistentRDDs().keysIterator()
+    out: set[int] = set()
+    while it.hasNext():
+        out.add(it.next())
+    return out
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that REMEMBERS its block set.
+
+    ``DataFrame.unpersist()`` does not free localCheckpoint blocks (they
+    live on the checkpointed RDD, not in the CacheManager — verified:
+    getPersistentRDDs count unchanged after unpersist), so without
+    bookkeeping every CC round leaks a block set for the session
+    lifetime.  The newly-persisted RDD ids are diffed around the
+    checkpoint call (driver-side, single-threaded — the only writer)
+    and stashed on the DataFrame for :func:`_release`.
+    """
+    sc = df.sparkSession.sparkContext
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    out._yatsm_ckpt_ids = _persistent_ids(sc) - before  # type: ignore[attr-defined]
+    return out
+
+
+def _release(*dfs: DataFrame) -> None:
+    """Free the localCheckpoint blocks behind :func:`_checkpoint` frames.
+
+    After this the frame CANNOT be recomputed (lineage was truncated) —
+    only call once every consumer has materialized.
+    """
+    for df in dfs:
+        ids = getattr(df, "_yatsm_ckpt_ids", None)
+        if not ids:
+            continue
+        sc = df.sparkSession.sparkContext
+        m = sc._jsc.sc().getPersistentRDDs()
+        for i in ids:
+            opt = m.get(i)
+            if opt.isDefined():
+                opt.get().unpersist(True)
+        df._yatsm_ckpt_ids = set()  # type: ignore[attr-defined]
+
+
+def release_components(df: DataFrame) -> None:
+    """Free the one checkpoint block set held by a
+    :func:`connected_components` / :func:`neardup_clusters` result.
+    Call when the result has been fully consumed (written / joined into
+    a persisted frame); the frame is unusable afterwards."""
+    _release(df)
+
+
 def _star(edges: DataFrame, large: bool) -> DataFrame:
     """One large-star (large=True) or small-star round.
 
@@ -85,25 +139,27 @@ def connected_components(
     alternating rounds (2 * ceil(log2 n) covers any graph; 25 rounds is
     far past any realistic corpus).
     """
-    cur = (
+    cur = _checkpoint(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    nodes = (
+    nodes = _checkpoint(
         cur.select(F.col("src").alias("id"))
         .union(cur.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
-        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(eager=True)
+        nxt = _checkpoint(_star(_star(cur, large=True), large=False))
         # converged when the edge SETS match (both are distinct lists)
         changed = (
             nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
         )
+        # nxt is eagerly materialized and the convergence check is done:
+        # the superseded round's blocks are dead — free them NOW, or each
+        # round leaks a block set for the session lifetime
+        _release(cur)
         cur = nxt
         if changed == 0:
             break
@@ -113,9 +169,16 @@ def connected_components(
     # at fixpoint every edge is (node -> its component minimum); minima
     # themselves carry no out-edge, so re-attach them with component = self
     comp = cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
-    return nodes.join(comp, "id", "left").select(
-        "id", F.coalesce("component", "id").alias("component")
+    result = _checkpoint(
+        nodes.join(comp, "id", "left").select(
+            "id", F.coalesce("component", "id").alias("component")
+        )
     )
+    # the eager result checkpoint makes nodes + the final edge list dead
+    # too — exactly ONE block set (one row per clustered node) survives
+    # per call; consumers free it with :func:`release_components`
+    _release(cur, nodes)
+    return result
 
 
 def neardup_clusters(
@@ -133,7 +196,7 @@ def neardup_clusters(
     """
     cc = connected_components(pairs, src_col, dst_col, max_iter)
     w = Window.partitionBy("component")
-    return (
+    out = (
         cc.withColumn("cluster_size", F.count("*").over(w))
         .select(
             F.col("id").alias("doc_id"),
@@ -142,3 +205,7 @@ def neardup_clusters(
             (F.col("id") == F.col("component")).alias("is_keeper"),
         )
     )
+    # carry the cc result's checkpoint handle so release_components works
+    # on the frame callers actually hold
+    out._yatsm_ckpt_ids = getattr(cc, "_yatsm_ckpt_ids", set())  # type: ignore[attr-defined]
+    return out

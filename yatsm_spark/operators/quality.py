@@ -51,11 +51,20 @@ def _x1e4(num, den) -> F.Column:
     scale 6 BEFORE floor (verified: 500/10000001-style inputs come out
     one too high for denominators > ~2e6).  Exact route: strip the
     remainder with pmod first, so the decimal division is exactly
-    divisible and its scale-6 result is an exact integer."""
-    n = F.lit(20000) * num.cast("bigint") + den.cast("bigint")
-    d = F.lit(2) * den.cast("bigint")
-    exact = (n - F.pmod(n, d)).cast("decimal(38,0)")
-    return (exact / d.cast("decimal(38,0)")).cast("bigint")
+    divisible and its scale-6 result is an exact integer.
+
+    ALL arithmetic here is decimal(38,0): the 20000*num step in bigint
+    silently wraps past 2^63 in non-ANSI Spark (num up to ~4.6e14 was
+    the ceiling), which matters once callers feed PRODUCTS as num/den
+    (terms.py's tf*N and n_tokens*N).  decimal(38,0) holds ~1e38 —
+    callers must themselves form such products in decimal (see
+    terms.py), after which this is exact up to num,den ~ 5e33."""
+    dnum = num.cast("decimal(38,0)")
+    dden = den.cast("decimal(38,0)")
+    n = F.lit(20000).cast("decimal(38,0)") * dnum + dden
+    d = F.lit(2).cast("decimal(38,0)") * dden
+    exact = n - F.pmod(n, d)
+    return (exact / d).cast("bigint")
 
 
 def repetition_stats(
@@ -65,8 +74,10 @@ def repetition_stats(
     top_token_frac_x1e4, dup_bigram_frac_x1e4).
 
     dup_bigram_frac = 1 - distinct_bigrams/total_bigrams (0 when a doc
-    has < 2 tokens).  Docs with empty text still emit a row (n_tokens
-    counts the single empty token, matching split semantics both engines).
+    has < 2 tokens).  Docs with empty OR NULL text still emit a row
+    (null coalesces to '', and split('') yields one empty token in both
+    engines) — so a quality gate built as an anti-join on the flagged
+    set cannot be bypassed by a null-text doc.
     """
     # Entirely MAP-SIDE: every signal is a per-doc function of the token
     # array, so nothing shuffles at all (the former two-level (id, token)
@@ -78,7 +89,8 @@ def repetition_stats(
     #   top_c          max equal-run length over the SORTED token array,
     #                  one linear aggregate() fold
     #   bigram stats   shingle_array(k=2): n_bi = T-1, distinct via set
-    toks = F.split(F.col(text_col), " ")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(txt, " ")
     srt = F.array_sort(toks)
     top_c = F.aggregate(
         srt,
@@ -101,14 +113,14 @@ def repetition_stats(
         ),
         lambda acc: acc["best"],
     )
-    bigrams = shingle_array(text_col, 2)
+    bigrams = shingle_array(txt, 2)
     # two projections: the raw counts land in named columns FIRST, and the
     # _x1e4 algebra references those columns.  Inlining _x1e4 over the
     # array exprs duplicates each (the fold ~4x) into one giant generated
     # class — measured ~4 s of one-time Janino compilation and repeated
     # per-row fold evaluation; split, the same query compiles and runs in
     # ~0.5 s
-    counts = docs.filter(F.col(text_col).isNotNull()).select(
+    counts = docs.select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("_nd"),

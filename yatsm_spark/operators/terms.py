@@ -89,9 +89,16 @@ def tfidf_top_terms(
     n_docs = docs.count()
     if broadcast_threshold is not None and vocab.count() <= broadcast_threshold:
         vocab = F.broadcast(vocab)
+    # tf*N formed in decimal(38,0): in bigint it silently wraps past 2^63
+    # in non-ANSI Spark once tf*N > ~9.2e18 — reachable at the documented
+    # 100 TB design scale (N ~ 1e12 docs)
     scored = tc.join(vocab, "t").withColumn(
         "tfidf_x1e4",
-        _x1e4(F.col("tf") * F.lit(int(n_docs)), F.col("df")),
+        _x1e4(
+            F.col("tf").cast("decimal(38,0)")
+            * F.lit(int(n_docs)).cast("decimal(38,0)"),
+            F.col("df"),
+        ),
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf_x1e4").desc(), F.col("t"))
     return (
@@ -127,18 +134,24 @@ def commonness_score(
     n_docs = docs.count()
     if broadcast_threshold is not None and vocab.count() <= broadcast_threshold:
         vocab = F.broadcast(vocab)
+    # tf*df and n_tokens*N formed in decimal(38,0) — bigint products wrap
+    # silently past 2^63 at design scale (see tfidf_top_terms note)
     return (
         tc.join(vocab, "t")
         .groupBy("id")
         .agg(
             F.sum("tf").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("df")).alias("sum_df"),
+            F.sum(
+                F.col("tf").cast("decimal(38,0)") * F.col("df").cast("decimal(38,0)")
+            ).alias("sum_df"),
         )
         .select(
             F.col("id").alias(id_col),
             F.col("n_tokens"),
             _x1e4(
-                F.col("sum_df"), F.col("n_tokens") * F.lit(int(n_docs))
+                F.col("sum_df"),
+                F.col("n_tokens").cast("decimal(38,0)")
+                * F.lit(int(n_docs)).cast("decimal(38,0)"),
             ).alias("mean_df_x1e4"),
         )
     )

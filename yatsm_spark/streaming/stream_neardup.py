@@ -26,16 +26,20 @@ timeout that drops buckets idle longer than ``state_ttl`` (the streaming
 analog of the batch pass owning full-corpus exactness; cf.
 stream_exact_dedup's watermark bound).
 
-A pair colliding in several bands is emitted once per band — dedup
-downstream with ``dropDuplicatesWithinWatermark`` on (id_a, id_b) or at
-the sink, where the stream's watermark column is available.
+A pair colliding in several bands is emitted once per band — pairs are
+orientation-NORMALIZED (id_a = least id, id_b = greatest), so a plain
+``dropDuplicatesWithinWatermark`` on (id_a, id_b) collapses them.
 
 Hashing here is pandas' xxhash-family ``hash_array`` (not the batch
 stack's md5-derived portable_hash64): signatures never leave the state
 store, so cross-engine reproducibility is not needed and the vectorized
-hash is ~20x cheaper.  Determinism still holds: same input stream =>
-same signatures => same pairs, regardless of micro-batch slicing
-(pairs emit when their LATER member arrives; tested).
+hash is ~20x cheaper.  Determinism: same input stream => same
+signatures, and for buckets that stay under ``max_bucket`` the emitted
+pair SET is independent of micro-batch slicing (pairs emit when their
+LATER member arrives; normalization makes the identity slicing-proof;
+tested at the set level).  In buckets that overflow ``max_bucket`` the
+FIFO eviction point depends on arrival interleaving, so the pair set
+there is best-effort — the same contract as the batch star guard.
 """
 
 from __future__ import annotations
@@ -151,12 +155,17 @@ def make_bucket_matcher(
                     sim = (stored == sig).mean(axis=1)
                     hit = np.flatnonzero(sim >= threshold)
                     if hit.size:
+                        # NORMALIZED orientation (id_a = least, id_b =
+                        # greatest): emission order still follows arrival,
+                        # but the pair identity must not — with earlier-
+                        # seen-first orientation the (id_a, id_b) tuple
+                        # flips under different micro-batch slicings and a
+                        # downstream dropDuplicates cannot collapse them
                         out.append(
                             pd.DataFrame(
                                 {
-                                    # id_a = the EARLIER-seen member
-                                    "id_a": [ids[h] for h in hit],
-                                    "id_b": did,
+                                    "id_a": [min(ids[h], did) for h in hit],
+                                    "id_b": [max(ids[h], did) for h in hit],
                                     "sig_sim": np.round(sim[hit], 4),
                                     "band": np.int32(key[0]),
                                 }
