@@ -646,14 +646,17 @@ def _q_docs_content_drift(spark, sf):
     The documents table is folded into 40 synthetic url series (url_id =
     doc_id % 40, ordered by doc_id); the DuckDB twin re-derives the
     (already-oracled) 32-bit simhash, lags it per series, and applies the
-    same bit_count(xor) >= 6 drift rule."""
+    same bit_count(xor) >= 6 rule with the K6-style consecutive=2
+    run-length confirmation (drift only when TWO successive transitions
+    exceed — one-off flaps stay unflagged)."""
     from yatsm_spark.operators.series import content_drift
 
     docs = _t(spark, sf, "documents").select(
         F.pmod("doc_id", F.lit(40)).alias("url_id"), "doc_id", "text"
     )
     return content_drift(
-        docs, bits=32, threshold=6, key_col="url_id", order_col="doc_id"
+        docs, bits=32, threshold=6, key_col="url_id", order_col="doc_id",
+        consecutive=2,
     )
 
 
@@ -1399,13 +1402,19 @@ sim AS (
          CAST(sum(CASE WHEN v > 0 THEN power(2, bit) ELSE 0 END) AS BIGINT) AS sh
   FROM bits GROUP BY doc_id),
 lagd AS (
-  SELECT doc_id % 40 AS url_id, doc_id,
-         bit_count(xor(sh, lag(sh) OVER (PARTITION BY doc_id % 40 ORDER BY doc_id)))
-           ::BIGINT AS hamming
+  SELECT doc_id % 40 AS url_id, doc_id, sh,
+         lag(sh)  OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) AS prev,
+         lag(sh,2) OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) AS prev2,
+         lead(sh) OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) AS nxt
   FROM sim)
-SELECT url_id, doc_id, hamming,
-       CASE WHEN hamming >= 6 THEN 1 ELSE 0 END AS drift
-FROM lagd WHERE hamming IS NOT NULL
+-- K6-style consecutive=2 confirmation: stable baseline (prev's own
+-- transition < 6) AND this obs AND the next both >= 6 from the baseline
+SELECT url_id, doc_id, bit_count(xor(sh, prev))::BIGINT AS hamming,
+       CASE WHEN (prev2 IS NULL OR bit_count(xor(prev, prev2)) < 6)
+                 AND bit_count(xor(sh, prev)) >= 6
+                 AND nxt IS NOT NULL AND bit_count(xor(nxt, prev)) >= 6
+            THEN 1 ELSE 0 END AS drift
+FROM lagd WHERE prev IS NOT NULL
 """
 
 # the max_bucket=2 star-guard split: buckets with <=2 members emit exact

@@ -122,3 +122,52 @@ def test_content_drift_hand_values(spark):
     assert out[("a", 2)] == (0, 0)
     h3, d3 = out[("a", 3)]
     assert h3 >= 6 and d3 == 1
+
+
+def test_content_drift_consecutive_suppresses_single_flap(spark):
+    """K6-style baseline-anchored confirmation: with consecutive=2 a
+    single-observation hash flap (transient error page) never flags —
+    not even via its flap-out transition — while a sustained rewrite
+    flags exactly once, at its first deviating observation."""
+    from yatsm_spark.operators.series import content_drift
+
+    base = "the quick brown fox jumps over the lazy dog again today"
+    flap = "service unavailable error page returned by the origin server"
+    new = "entirely rewritten article about distributed query engines now"
+    rows = [
+        ("a", 1, base),
+        ("a", 2, flap),   # flap in  (transition exceeds)
+        ("a", 3, base),   # flap out (transition exceeds) — content is BACK
+        ("a", 4, base),
+        ("b", 1, base),
+        ("b", 2, new),    # sustained rewrite starts
+        ("b", 3, new),
+        ("b", 4, new),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text"])
+    # consecutive=1 (plain lag rule): the flap DOES flag twice — the
+    # false-positive mode the run-length rule exists to kill
+    d1 = {
+        (r.url, r.warc_ts): r.drift
+        for r in content_drift(df, threshold=6, consecutive=1).collect()
+    }
+    assert d1[("a", 2)] == 1 and d1[("a", 3)] == 1
+    # consecutive=2: the flap deviates from its baseline for only ONE
+    # obs (obs 3 is back at hamming 0 from baseline), so NOTHING on
+    # series a flags; series b confirms once, at the break start
+    d2 = {
+        (r.url, r.warc_ts): r.drift
+        for r in content_drift(df, threshold=6, consecutive=2).collect()
+    }
+    assert [t for (u, t), d in d2.items() if u == "a" and d] == []
+    assert [t for (u, t), d in sorted(d2.items()) if u == "b" and d] == [2]
+    # unconfirmable tail: a break starting at the LAST obs cannot confirm
+    tail = spark.createDataFrame(
+        [("c", 1, base), ("c", 2, base), ("c", 3, new)],
+        ["url", "warc_ts", "text"],
+    )
+    dt = {
+        r.warc_ts: r.drift
+        for r in content_drift(tail, threshold=6, consecutive=2).collect()
+    }
+    assert dt[3] == 0

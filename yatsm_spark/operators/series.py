@@ -371,6 +371,7 @@ def content_drift(
     key_col: str = "url",
     order_col: str = "warc_ts",
     text_col: str = "text",
+    consecutive: int = 1,
 ) -> DataFrame:
     """Per-key CONTENT change-points: SimHash Hamming distance between
     consecutive observations of a text series — the webtext twin of the
@@ -380,8 +381,23 @@ def content_drift(
     ~bits/2 (independent simhashes agree per bit with p=0.5).
 
     Returns one row per consecutive pair:
-        (key, order, hamming: bigint, drift: int[0/1])
-    with drift = 1 iff hamming >= threshold.  The first observation of a
+        (key, order, hamming: bigint, drift: int[0/1]).
+
+    ``consecutive=1`` (default) is the plain lag test: drift iff
+    hamming >= threshold.  With ``consecutive`` = c >= 2 the rule is the
+    K6 Shewhart confirmation recast on hashes: obs t STARTS a confirmed
+    break iff (a) its predecessor is a STABLE baseline (the predecessor's
+    own incoming transition did not exceed — or it was the series head),
+    and (b) obs t AND the next c-1 observations ALL sit >= threshold away
+    from that baseline hash.  This is deliberately NOT "c exceeding
+    transitions in a row": a one-observation flap (transient error page)
+    produces TWO exceeding transitions (flap-in, flap-out) and would
+    still fool a transition-run rule, but it deviates from the baseline
+    for only ONE observation, so the baseline-anchored rule stays quiet —
+    exactly how CCDC confirms a numeric break against the pre-break
+    model, not against the previous raw point.  A confirmed break flags
+    ONCE, at its first deviating observation; the unconfirmable tail
+    (fewer than c-1 successors) never flags.  The first observation of a
     key emits no row (no predecessor).
 
     Scale shape: simhash64 is map-side (single-pass vote-vector
@@ -402,12 +418,25 @@ def content_drift(
     )
     w = Window.partitionBy(key_col).orderBy(order_col)
     prev = F.lag("_sh").over(w)
-    return (
-        sh.select(
-            key_col,
-            order_col,
-            F.bit_count(prev.bitwiseXOR(F.col("_sh"))).cast("bigint").alias("hamming"),
+    hamming = F.bit_count(prev.bitwiseXOR(F.col("_sh"))).cast("bigint")
+    if consecutive <= 1:
+        return (
+            sh.select(key_col, order_col, hamming.alias("hamming"))
+            .filter(F.col("hamming").isNotNull())
+            .withColumn("drift", (F.col("hamming") >= threshold).cast("int"))
         )
-        .filter(F.col("hamming").isNotNull())
-        .withColumn("drift", (F.col("hamming") >= threshold).cast("int"))
-    )
+    # baseline-anchored confirmation (all lag/lead share the one (key,
+    # order) window spec — Catalyst reuses a single exchange+sort):
+    #   stable baseline: predecessor's own incoming transition < threshold
+    #   confirm: this obs and the next c-1 all >= threshold FROM BASELINE
+    prev2 = F.lag("_sh", 2).over(w)
+    stable = prev2.isNull() | (F.bit_count(prev.bitwiseXOR(prev2)) < threshold)
+    confirm = F.lit(True)
+    for j in range(consecutive):
+        confirm = confirm & (
+            F.bit_count(F.lead("_sh", j).over(w).bitwiseXOR(prev)) >= threshold
+        )
+    drift = F.coalesce((stable & confirm).cast("int"), F.lit(0))
+    return sh.select(
+        key_col, order_col, hamming.alias("hamming"), drift.alias("drift")
+    ).filter(F.col("hamming").isNotNull())
