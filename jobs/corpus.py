@@ -170,9 +170,11 @@ def clean_corpus(
             m["domain_cap"] = scored.count()
         if token_budget is not None:
             scored = pack_token_budget(
-                scored, "distinct_frac_x1e4", "n_tokens", token_budget
+                scored, "distinct_frac_x1e4", "n_tokens", token_budget,
+                metrics=m,
             )
             m["token_budget"] = scored.count()
+            pack_handle = scored  # frozen boundary chunks; freed below
         good = scored.drop("n_tokens", "distinct_frac_x1e4")
 
     # -- 5-6. PII scrub + deterministic splits (map-side)
@@ -181,6 +183,8 @@ def clean_corpus(
         key_col="doc_id",
     ).persist()
     m["cleaned"] = cleaned.count()
+    if token_budget is not None:
+        release_components(pack_handle)  # cleaned is materialized
     deduped.unpersist()
     return cleaned, m
 

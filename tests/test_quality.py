@@ -200,3 +200,34 @@ def test_x1e4_exact_past_bigint_wrap(spark):
         .collect()
     ]
     assert got == [3333, 5000, 0]
+
+
+def test_pack_token_budget_constant_score_distributed_boundary(spark):
+    """Degenerate input: ONE score class (the whole corpus is the
+    boundary).  The prefix sum must stay correct, run distributed (no
+    single-reducer global window in the plan), report the boundary row
+    count, and use STRING ids (the corpus packs on doc_id=url)."""
+    from yatsm_spark.operators.graph import release_components
+    from yatsm_spark.operators.quality import pack_token_budget
+
+    rows = [(f"url{i:04d}", 5, (i * 29) % 11 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id string, score long, w long")
+    budget = 600
+    m: dict = {}
+    out = pack_token_budget(
+        df, "score", "w", budget, boundary_partitions=8, metrics=m
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the global-order single-reducer form shows up as an Exchange to a
+    # SinglePartition followed by a Window with no partition spec
+    assert "SinglePartition" not in plan, plan
+    got = {r.doc_id for r in out.collect()}
+    cum, want = 0, set()
+    for i, s, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum + w > budget:
+            break
+        cum += w
+        want.add(i)
+    assert got == want
+    assert m["pack_boundary_rows"] == 500
+    release_components(out)

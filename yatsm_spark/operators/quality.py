@@ -215,6 +215,8 @@ def pack_token_budget(
     weight_col: str,
     budget: int,
     id_col: str = "doc_id",
+    boundary_partitions: int = 64,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Greedy corpus packing: walk rows in (``score_col`` DESC,
     ``id_col`` ASC) order and keep the maximal prefix whose cumulative
@@ -231,12 +233,22 @@ def pack_token_budget(
     quality fractions have <= 10001 values, so this histogram is tiny);
     (2) walk the histogram on the driver to find the threshold score s*
     = the highest score whose full class no longer fits; (3) keep every
-    row with score > s* with NO sort at all, and run the running-sum
-    window only over the s* boundary class (ordered by ``id_col``).
-    Only the boundary class touches a single-reducer window; at corpus
-    scale that is one score bucket, not the corpus.  Both weights and
-    the budget are integer-exact, so the kept set is engine- and
-    cluster-size-independent.
+    row with score > s* with NO sort at all, and run the running sum
+    only over the s* boundary class (ordered by ``id_col``).
+
+    The boundary running sum is itself DISTRIBUTED (never the former
+    single-reducer ``Window.orderBy``): the class is range-partitioned
+    on ``id_col`` into ``boundary_partitions`` chunks, per-chunk weight
+    totals (one bounded collect — <= boundary_partitions rows) become
+    broadcast prefix offsets, and each chunk computes its local running
+    sum + offset.  Range partitioning preserves the global id order
+    across chunks, so the kept prefix is bit-identical to the global
+    window — even in the degenerate where a constant score puts the
+    WHOLE corpus in the boundary class, the sort is now
+    corpus/boundary_partitions per reducer instead of the corpus on
+    one.  ``metrics`` (optional dict) records ``pack_boundary_rows``
+    for lineage.  Both weights and the budget are integer-exact, so
+    the kept set is engine- and cluster-size-independent.
     """
     hist = (
         df.groupBy(score_col)
@@ -256,14 +268,63 @@ def pack_token_budget(
     if cut is None:  # everything fits
         return df
     full = df.filter(F.col(score_col) > cut)
-    wb = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, 0)
-    boundary = (
+
+    # distributed exact prefix sum over the boundary class.  _pid must be
+    # IDENTICAL in the totals job and the result job, but range
+    # boundaries come from sampling that re-runs (with fresh RDD-id
+    # seeds) on every plan re-execution — so the chunked frame is
+    # localCheckpoint-frozen first (fails loud on block loss rather
+    # than silently re-chunking; release via graph.release_components
+    # once the packed output is materialized)
+    from yatsm_spark.operators.graph import _checkpoint
+
+    b = _checkpoint(
         df.filter(F.col(score_col) == cut)
-        .withColumn("_cum", F.sum(F.col(weight_col).cast("bigint")).over(wb))
-        .filter(F.col("_cum") <= remaining)
-        .drop("_cum")
+        .repartitionByRange(boundary_partitions, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
     )
-    return full.unionByName(boundary)
+    totals = sorted(
+        b.groupBy("_pid")
+        .agg(
+            F.sum(F.col(weight_col).cast("bigint")).alias("w"),
+            F.count("*").alias("n"),
+        )
+        .collect(),  # bounded: <= boundary_partitions rows
+        key=lambda r: r["_pid"],
+    )
+    if metrics is not None:
+        metrics["pack_boundary_rows"] = int(sum(r["n"] for r in totals))
+    off, offsets = 0, {}
+    for r in totals:
+        offsets[r["_pid"]] = off
+        off += r["w"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+            "_pid int, _off long",
+        )
+    )
+    wb = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = (
+        b.join(off_df, "_pid", "left")
+        .withColumn(
+            "_cum",
+            F.sum(F.col(weight_col).cast("bigint")).over(wb)
+            + F.coalesce("_off", F.lit(0)),
+        )
+        .filter(F.col("_cum") <= remaining)
+        .drop("_cum", "_off", "_pid")
+    )
+    out = full.unionByName(boundary)
+    # carry the checkpoint handle so graph.release_components(out) frees
+    # the frozen boundary chunks once the packed corpus is materialized
+    out._yatsm_ckpt_ids = getattr(b, "_yatsm_ckpt_ids", set())  # type: ignore[attr-defined]
+    return out
 
 
 def keep_top_fraction(
