@@ -447,3 +447,49 @@ def test_connected_components_releases_round_checkpoints(spark):
     release_components(out)
     assert _persistent_ids(sc) - before == set()
     assert n_rows > 0
+
+
+def test_ann_recall_floor_vs_brute_force(spark):
+    """Recall@5 of both ANN families vs exact brute force on seeded
+    CLUSTERED embeddings (the regime ANN configs are tuned for — true
+    neighbors are co-clustered).  Determinism tests alone would keep a
+    silently-useless quantizer config green; this pins usefulness."""
+    import numpy as np
+
+    from yatsm_spark.operators.similarity import (
+        brute_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, per_cluster = 12, 20
+    cents = rng.normal(size=(15, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in cents:
+        for _ in range(per_cluster):
+            v = c + 0.15 * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vectors.filter(F.col("vec_id") % 30 == 0)  # 10 queries
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.q_id, set()).add(r.n_id)
+        return out
+
+    truth = topk_sets(brute_topk(vectors, queries, k=5))
+    assert truth and all(len(v) == 5 for v in truth.values())
+
+    for name, ann in (
+        ("lsh", lsh_bucket_topk(vectors, queries, dim=dim, k=5, n_planes=6,
+                                n_tables=4)),
+        ("ivf", ivf_topk(vectors, queries, k=5, n_cells=12, n_probe=3)),
+    ):
+        got = topk_sets(ann)
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        recall = hits / (5 * len(truth))
+        assert recall >= 0.8, f"{name} recall@5 = {recall:.2f} < 0.8"
