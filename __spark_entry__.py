@@ -1289,6 +1289,22 @@ _DOCS_FP = """
 SELECT doc_id, md5(text) AS fp, CAST(length(text) AS INTEGER) AS text_len FROM documents
 """
 
+_HASH_SHINGLES_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+th AS (SELECT doc_id,
+              list_transform(ws,
+                t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647) AS hs
+       FROM w),
+hsh AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 3
+           THEN list_transform(range(len(hs) - 2),
+                i -> (((hs[i+1] * 1000003 + hs[i+2]) % 2147483647) * 1000003
+                      + hs[i+3]) % 2147483647)
+           ELSE [] END AS s
+  FROM th)
+"""
+
 _SHINGLES_CTE = """
 w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (
@@ -1318,9 +1334,8 @@ WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.1
 """
 
 _DOCS_MINHASH = f"""
-WITH {_SHINGLES_CTE},
-e AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE len(s) > 0),
-h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM e)
+WITH {_HASH_SHINGLES_CTE},
+h AS (SELECT doc_id, unnest(s) AS hv FROM hsh WHERE len(s) > 0)
 SELECT doc_id, i, min((hv * (2 * i + 1) + 7919 * (i + 1)) % 2147483647) AS sig_val
 FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) idx
 GROUP BY doc_id, i
@@ -1362,9 +1377,8 @@ SELECT id_a, id_b, round(c, 6) AS sim FROM s WHERE c >= 0.4
 """
 
 _MINHASH_LSH = f"""
-WITH {_SHINGLES_CTE},
-e AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE len(s) > 0),
-h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM e),
+WITH {_HASH_SHINGLES_CTE},
+h AS (SELECT doc_id, unnest(s) AS hv FROM hsh WHERE len(s) > 0),
 sig AS (
   SELECT doc_id, i, min((hv * (2 * i + 1) + 7919 * (i + 1)) % 2147483647) AS sig_val
   FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) idx
@@ -1420,9 +1434,8 @@ FROM lagd WHERE prev IS NOT NULL
 # the max_bucket=2 star-guard split: buckets with <=2 members emit exact
 # all-pairs, larger buckets emit (min-id root, member) star edges only
 _MINHASH_LSH_GUARDED = f"""
-WITH {_SHINGLES_CTE},
-e AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE len(s) > 0),
-h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM e),
+WITH {_HASH_SHINGLES_CTE},
+h AS (SELECT doc_id, unnest(s) AS hv FROM hsh WHERE len(s) > 0),
 sig AS (
   SELECT doc_id, i, min((hv * (2 * i + 1) + 7919 * (i + 1)) % 2147483647) AS sig_val
   FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) idx

@@ -139,6 +139,57 @@ def shingle_array(text_col: str | F.Column, k: int = 3) -> F.Column:
     return sh
 
 
+#: polynomial combiner base for hash-domain shingles (prime, ~2^20 —
+#: product with a (mod _PRIME) operand stays < 2^51, no bigint wrap)
+_SHINGLE_BASE = 1000003
+
+
+def shingle_hash_array(text_col: str | F.Column, k: int = 3) -> F.Column:
+    """Word k-shingle HASHES as an array<bigint> — string-free shingling.
+
+    Hashes every token ONCE (portable_hash64 mod _PRIME), then combines
+    each k-window arithmetically: h = fold(h*B + t_j mod _PRIME) over the
+    window — a polynomial rolling hash in the 31-bit field, built with
+    the same zip_with-of-offset-slices shape as :func:`shingle_array`
+    but over bigints.  The k-gram STRING is never materialized: the old
+    path concat-allocated every k-gram (~3x the corpus text volume in
+    short-lived strings) and then md5'd each — pure memory-bandwidth
+    work, which the corpus scaling campaign measured as the binding
+    resource on the MinHash path (BENCH/BASELINE.md round-3: pipeline
+    weak-scaling 0.69 vs 0.81 node ceiling).  Collision rate of the
+    combiner is ~1/_PRIME per pair — the same order as the 32-bit
+    truncated-md5 token hash itself.
+
+    Cross-engine exact: per-token hash is the portable md5 prefix; the
+    polynomial fold is plain bigint arithmetic with every intermediate
+    < 2^51 (a < _PRIME ~ 2^31, B ~ 2^20), so a DuckDB list_transform
+    twin reproduces values bit-for-bit.  Docs with fewer than k tokens
+    yield an empty array.  Multiset semantics (repeats stay).
+    """
+    toks = F.split(text_col, " ")
+    th = F.transform(toks, lambda t: portable_hash64(t) % _PRIME)
+
+    # Bind th as a LAMBDA VARIABLE before slicing: higher-order functions
+    # are interpreted (no whole-stage codegen, no common-subexpression
+    # elimination), so referencing the th EXPRESSION from k slices would
+    # re-run the per-token md5 k times (measured 8.3s vs 5.1s for the
+    # string path at 60k docs — slower than what this replaces).  Inside
+    # transform(array(th), h -> ...) the hash array is a materialized
+    # VALUE; k slice references cost nothing extra.
+    def combine(h: F.Column) -> F.Column:
+        n_sh = F.greatest(F.size(h) - k + 1, F.lit(0))
+        sh = F.slice(h, 1, n_sh)
+        for j in range(1, k):
+            sh = F.zip_with(
+                sh,
+                F.slice(h, j + 1, n_sh),
+                lambda a, b: (a * _SHINGLE_BASE + b) % _PRIME,
+            )
+        return sh
+
+    return F.element_at(F.transform(F.array(th), combine), 1)
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 16,
@@ -146,15 +197,18 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signatures via array-level shingling + one thin aggregate.
+    """MinHash signatures via string-free shingle hashing + one thin
+    aggregate.
 
-    (id, sig: array<bigint>[n_hashes]).  Shingles come from
-    :func:`shingle_array` (map-side, no window), explode feeds the
-    groupBy DIRECTLY: min is duplicate-insensitive, so MinHash needs no
-    distinct() — and with no shuffle between scan and aggregate, partial
-    aggregation collapses every doc's shingles to one 16-min row map-side.
-    The only shuffle is n_docs signature rows (~150 B each) instead of
-    the window+distinct+agg chain over every shingle occurrence row
+    (id, sig: array<bigint>[n_hashes]).  Shingle hashes come from
+    :func:`shingle_hash_array` (map-side, no window, no k-gram string
+    allocation — r4 change; r3 still concat'd every k-gram before
+    hashing), explode feeds the groupBy DIRECTLY: min is
+    duplicate-insensitive, so MinHash needs no distinct() — and with no
+    shuffle between scan and aggregate, partial aggregation collapses
+    every doc's shingles to one 16-min row map-side.  The only shuffle
+    is n_docs signature rows (~150 B each) instead of the
+    window+distinct+agg chain over every shingle occurrence row
     (measured at 480k docs / 144M shingles: the LSH-pair stage fell
     263s -> 80s at local[8]).  The n minima are n algebraic ``min``
     aggregates — one shallow codegen expression per hash fn (the
@@ -162,14 +216,15 @@ def minhash_signatures(
     duplicates the shingle subtree n_hashes times and chokes codegen at
     width 16 — measured 226s vs 3s on 500 docs).  Docs with fewer than k
     tokens have no shingles and are dropped (no signature is defined for
-    an empty set).  Values are bit-identical to the shingle_rows
-    formulation (same shingle strings, same md5 hash, min over a
-    multiset == min over its set) — pinned by tests.
+    an empty set).  Signature VALUES differ from the r3 string-shingle
+    formulation (different shingle hash domain) — the DuckDB oracles
+    were updated in lockstep; dedup behavior (identical docs =>
+    identical sigs, banding collision stats) is pinned by tests.
     """
     ex = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_array(text_col, k)).alias("s"),
-    ).select("id", portable_hash64(F.col("s")).alias("hv"))
+        F.explode(shingle_hash_array(text_col, k)).alias("hv"),
+    )
     aggs = [
         F.min((F.col("hv") * (2 * i + 1) + 7919 * (i + 1)) % _PRIME).alias(f"_h{i}")
         for i in range(n_hashes)
