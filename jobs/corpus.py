@@ -49,7 +49,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, functions as F  # noqa: E402
+from pyspark.sql import DataFrame, Window, functions as F  # noqa: E402
 
 from yatsm_spark.datagen import generate_crawl  # noqa: E402
 from yatsm_spark.functions.textops import (  # noqa: E402
@@ -229,6 +229,38 @@ def build_catalog(
     )
 
 
+def compact_catalog(catalog: DataFrame) -> DataFrame:
+    """LOSSLESS ledger compaction: collapse exact-dup families' payload.
+
+    The catalog grows monotonically with every delta (one row per
+    ingested canonical url — jobs/archive.py's parquet age-out has no
+    ledger twin because every row is information-bearing: dropping a row
+    would let a future re-crawl of that url through the first-crawl-wins
+    guard, and dropping a near-dup loser's row would let a future delta
+    doc that matches only the LOSER re-enter).  What IS redundant is the
+    payload: every member of an exact-dup family carries the same
+    (fp, sig) — identical text hashes identically — but only one copy is
+    ever needed, because fp matching is an anti-join against DISTINCT
+    fps and band matching derives keys from sig values (identical sigs
+    => identical band keys).  Compaction keeps every doc_id row (url
+    guard intact) and nulls fp/sig on all but the min-doc_id family
+    representative; a null fp never equi-matches and null sigs are
+    filtered before banding, so the compacted ledger is behaviorally
+    IDENTICAL (incremental_clean output byte-equal — pinned by test)
+    while the wide sig arrays shrink to one per distinct document text.
+
+    One window over fp (hash-partitioned, no skew beyond family size);
+    run it at the archive cadence and overwrite <output>/catalog.
+    """
+    w = Window.partitionBy("fp")
+    is_rep = F.col("doc_id") == F.min("doc_id").over(w)
+    return catalog.select(
+        "doc_id",
+        F.when(is_rep, F.col("fp")).alias("fp"),
+        F.when(is_rep, F.col("sig")).alias("sig"),
+    )
+
+
 def incremental_clean(
     delta_crawl: DataFrame,
     catalog: DataFrame,
@@ -398,11 +430,34 @@ def main() -> None:
     ap.add_argument("--incremental", action="store_true",
                     help="fold the input as a DELTA into an existing "
                          "corpus at --output (requires its catalog)")
+    ap.add_argument("--compact-catalog", action="store_true",
+                    help="rewrite --output's catalog with exact-dup "
+                         "family payload collapsed (lossless; no "
+                         "--input needed)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     spark = get_spark("corpus_clean", master=args.master)
     t0 = time.time()
+
+    if args.compact_catalog:
+        catalog_dir = os.path.join(args.output, "catalog")
+        if not os.path.isdir(catalog_dir):
+            raise SystemExit(f"no catalog at {catalog_dir}")
+        tmp = catalog_dir + ".compact.tmp"
+        compact_catalog(spark.read.parquet(catalog_dir)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        # atomic-enough swap: validate the rewrite BEFORE replacing
+        import shutil
+
+        shutil.rmtree(catalog_dir)
+        os.rename(tmp, catalog_dir)
+        print(json.dumps({"compacted_rows": n, "sec": round(time.time() - t0, 1)}))
+        spark.stop()
+        return
+
     if args.synthetic:
         n_urls, span = (int(x) for x in args.synthetic.split(":"))
         crawl = generate_crawl(spark, n_urls=n_urls, span_days=span)

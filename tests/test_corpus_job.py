@@ -169,3 +169,47 @@ def test_incremental_corpus_recrawl_and_dup_suppression(spark):
     assert m["delta_new_urls"] == 30          # only the renamed urls pass
     assert m["exact_dedup"] == 0 and m["cleaned"] == 0
     base.unpersist(); delta_clean.unpersist()
+
+
+def test_compact_catalog_behaviorally_identical(spark):
+    """compact_catalog keeps every doc_id row, nulls payload on exact-dup
+    family non-representatives, and produces BYTE-IDENTICAL
+    incremental_clean output on the next delta."""
+    from jobs.corpus import (
+        build_catalog,
+        compact_catalog,
+        incremental_clean,
+    )
+    from yatsm_spark.datagen import generate_crawl
+
+    full = generate_crawl(spark, n_urls=60, span_days=12)
+    urls = sorted(r.url for r in full.select("url").distinct().collect())
+    cut = urls[29]
+    crawl_a = full.filter(F.col("url") <= cut)
+    crawl_b = full.filter(F.col("url") > cut)
+
+    cat = build_catalog(crawl_a)
+    # seed exact-dup families in the LEDGER: the same texts under
+    # renamed urls — compaction must collapse their payload copies
+    renamed = crawl_a.withColumn("url", F.regexp_replace("url", "://", "://m."))
+    cat = cat.unionByName(
+        build_catalog(renamed)
+    )
+    compacted = compact_catalog(cat).persist()
+
+    # every url row survives; payload exists once per distinct fp family
+    assert compacted.count() == cat.count()
+    fam = compacted.filter(F.col("fp").isNotNull()).count()
+    assert fam == cat.select("fp").distinct().count()
+    assert compacted.filter(F.col("sig").isNotNull()).count() <= fam
+
+    kw = dict(max_dup_bigram_x1e4=9900)
+    out_full, m_full = incremental_clean(crawl_b, cat, **kw)
+    out_comp, m_comp = incremental_clean(crawl_b, compacted, **kw)
+    key = lambda df: sorted(
+        (r.doc_id, r.text, r.lang, r.split)
+        for r in df.select("doc_id", "text", "lang", "split").collect()
+    )
+    assert key(out_full) == key(out_comp)
+    assert m_full == m_comp
+    out_full.unpersist(); out_comp.unpersist(); compacted.unpersist()
