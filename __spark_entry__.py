@@ -896,6 +896,37 @@ def _changemap_synth(spark, sf):
     )
 
 
+
+def _q_corpus_clean_e2e(spark, sf):
+    """FULL corpus-cleaning pipeline (jobs/corpus.py::clean_corpus) over
+    a crawl synthesized from the documents table — HASH-CHECKED end to
+    end against a DuckDB twin that replays every stage: snapshot (the
+    synthetic urls are already canonical and single-observation, so
+    snapshot is identity), exact dedup (min-url keeper per md5), MinHash
+    LSH banding, recursive-CTE connected components, the Gopher
+    dup-bigram/min-tokens quality gate, PII redaction, and the md5 hash
+    split.  Output text is fingerprinted so the value-hash compare moves
+    32-char digests, not documents."""
+    from jobs.corpus import clean_corpus
+    from yatsm_spark.functions.textops import fingerprint
+
+    d = _t(spark, sf, "documents")
+    crawl = d.select(
+        F.concat(
+            F.lit("https://ex.com/d"),
+            F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    cleaned, _m = clean_corpus(crawl)
+    return cleaned.select(
+        "doc_id", fingerprint("text").alias("text_fp"), "lang", "split"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (round 4): the driver's CORRECTNESS gate checks only the
     # FIRST 50 entries, so the registry is ordered to rotate coverage.
@@ -938,7 +969,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": _q_emb_ann,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "url_canonicalize": _q_url_canonicalize,
-        "docs_hash_split": _q_docs_hash_split,
         "codec_roundtrip": _q_codec_roundtrip,
         "blob_range_read": _q_blob_range_read,
         "salted_event_stats": _q_salted_stats,
@@ -946,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_guarded": _q_minhash_lsh_guarded,
         "docs_content_drift": _q_docs_content_drift,
         "neardup_clusters": _q_neardup_clusters,
+        "corpus_clean_e2e": _q_corpus_clean_e2e,
         "docs_pii_redact": _q_docs_pii_redact,
         "docs_repetition": _q_docs_repetition,
         "docs_decontam": _q_docs_decontam,
@@ -975,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_regex": _q_docs_token_regex,
         "docs_winnow_fp": _q_docs_winnow_fp,
         "emb_cosine_neardup": _q_emb_neardup,
+        "docs_hash_split": _q_docs_hash_split,
     }
 
 
@@ -1871,6 +1903,86 @@ _MULTIMODAL_GOLDEN = _golden(
 )
 
 
+
+# full clean_corpus replay: exact dedup -> LSH banding -> recursive-CTE
+# connected components (>=8/16 sig agreement = sig_sim >= 0.5) -> Gopher
+# dup-bigram/min-tokens gate -> PII redaction -> md5 hash split.  The
+# synthesized urls are canonical + single-observation, so snapshot is
+# identity; text_fp = md5 of the redacted text.
+_CORPUS_E2E = f"""
+WITH RECURSIVE crawl AS (
+  SELECT 'https://ex.com/d' || lpad(doc_id::VARCHAR, 7, '0') AS doc_id,
+         text, lang
+  FROM documents),
+fpt AS (SELECT doc_id, md5(text) AS fp FROM crawl),
+k1 AS (SELECT min(doc_id) AS doc_id FROM fpt GROUP BY fp),
+uniq AS (SELECT c.* FROM crawl c JOIN k1 USING (doc_id)),
+uw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM uniq),
+uth AS (SELECT doc_id,
+               list_transform(ws,
+                 t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647) AS hs
+        FROM uw),
+uhsh AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 3
+           THEN list_transform(range(len(hs) - 2),
+                i -> (((hs[i+1] * 1000003 + hs[i+2]) % 2147483647) * 1000003
+                      + hs[i+3]) % 2147483647)
+           ELSE [] END AS s
+  FROM uth),
+h AS (SELECT doc_id, unnest(s) AS hv FROM uhsh WHERE len(s) > 0),
+sig AS (
+  SELECT doc_id, i, min((hv * (2 * i + 1) + 7919 * (i + 1)) % 2147483647) AS sig_val
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) idx
+  GROUP BY doc_id, i),
+bk AS (
+  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         string_agg(sig_val::VARCHAR, ',' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.doc_id < b.doc_id),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN x.sig_val = y.sig_val THEN 1 ELSE 0 END) AS n_eq
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.id_a
+  JOIN sig y ON y.doc_id = c.id_b AND y.i = x.i
+  GROUP BY 1, 2),
+ed AS (SELECT id_a AS s, id_b AS d FROM agree WHERE n_eq >= 8
+       UNION ALL SELECT id_b, id_a FROM agree WHERE n_eq >= 8),
+reach(a, b2) AS (
+  SELECT DISTINCT s, s FROM ed
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN ed e ON e.s = r.b2),
+cc AS (SELECT a AS doc_id, min(b2) AS cluster_id FROM reach GROUP BY a),
+losers AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+dd AS (SELECT u.* FROM uniq u LEFT JOIN losers l USING (doc_id)
+       WHERE l.doc_id IS NULL),
+qw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
+qb AS (SELECT doc_id, len(ws) AS n_tok, {_kgram_expr(2)} AS bgs FROM qw),
+qq AS (SELECT doc_id, n_tok, len(bgs) AS n_bi,
+              len(list_distinct(bgs)) AS n_bd FROM qb),
+bad AS (SELECT doc_id FROM qq
+        WHERE n_tok < 5
+           OR (n_bi > 0 AND {_x1e4_sql('(n_bi - n_bd)', 'n_bi')} > 6000)),
+good AS (SELECT d.* FROM dd d LEFT JOIN bad b USING (doc_id)
+         WHERE b.doc_id IS NULL),
+red AS (SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g') AS rtext,
+               lang
+        FROM good)
+SELECT doc_id, md5(rtext) AS text_fp, lang,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, rtext, lang,
+             ('0x' || substr(md5(doc_id || '#0'), 1, 8))::BIGINT % 100 AS b
+      FROM red)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1h": _ROLLUP_1H,
@@ -1933,6 +2045,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_guarded": _MINHASH_LSH_GUARDED,
         "docs_content_drift": _DOCS_CONTENT_DRIFT,
         "neardup_clusters": _NEARDUP_CLUSTERS,
+        "corpus_clean_e2e": _CORPUS_E2E,
         "docs_pii_redact": _DOCS_PII,
         "docs_repetition": _DOCS_REPETITION,
         "docs_decontam": _DOCS_DECONTAM,

@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "docs_repetition",
     "neardup_clusters",
     "docs_tfidf_terms",
+    # round-4 addition: the flagship corpus pipeline end-to-end (exact
+    # dedup -> LSH+CC near-dup dedup -> quality -> PII -> splits), so its
+    # round-over-round signal lands in BENCH_r{N}, not only in the
+    # BENCH/BASELINE.md campaign notes
+    "corpus_clean_e2e",
 ]
 
 
