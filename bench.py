@@ -72,12 +72,21 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("yatsm_spark_bench")
 
+    # min-of-REPS per query: the shared host carries invisible co-tenant
+    # load (measured 3x per-query swings between back-to-back full runs,
+    # loadavg 0.07-31 across a session), so a single shot measures the
+    # noise window, not the engine.  Same min-of-N methodology as the
+    # BENCH/BASELINE.md scaling campaigns; reps recorded in the output.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        run_query(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            run_query(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # tier throughput: rolled-up points/sec for the 1h tier over events
     # (BASELINE.md metric; the crawl-table variant is in bench_scaling.py)
@@ -96,6 +105,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps_min_of": reps,
         "rollup_points_per_sec_1h": round(n_points / max(tier_sec, 1e-9), 1),
     }
     print(json.dumps(out))
