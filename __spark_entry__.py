@@ -788,6 +788,24 @@ def _q_docs_dup_spans(spark, sf):
     return duplicate_span_stats(_t(spark, sf, "documents"), k=4)
 
 
+def _q_docs_dup_span_cut(spark, sf):
+    """The CUT stage of exact-substring dedup (Lee et al. 2021) —
+    HASH-CHECKED: every token covered by a cross-document word 4-gram is
+    removed from the text; the DuckDB twin re-derives the string-free
+    span hashes, the flagged start positions, and the surviving-token
+    reconstruction (text compared by md5)."""
+    from yatsm_spark.operators.dedup import cut_duplicate_spans
+    from yatsm_spark.functions.textops import fingerprint
+
+    out = cut_duplicate_spans(_t(spark, sf, "documents"), k=4)
+    return out.select(
+        "doc_id",
+        fingerprint("text_cut").alias("cut_fp"),
+        "n_tokens_kept",
+        "n_tokens_cut",
+    )
+
+
 def _q_neardup_clusters(spark, sf):
     """MinHash-LSH pairs -> connected components -> dedup clusters with a
     deterministic keeper — HASH-CHECKED: the DuckDB oracle re-derives the
@@ -949,7 +967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_merge_1h": _q_incr_merge_1h,
         "gap_fill_1h": _q_gap_fill_1h,
         "locf_1h": _q_locf_1h,
-        "percentile_daily": _q_percentile_daily,
         "ohlc_daily": _q_ohlc_daily,
         "sliding_mean_24h": _q_sliding_24h,
         "sessionize_30m": _q_sessionize,
@@ -986,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_terms": _q_docs_tfidf_terms,
         "docs_commonness": _q_docs_commonness,
         "docs_dup_spans": _q_docs_dup_spans,
+        "docs_dup_span_cut": _q_docs_dup_span_cut,
         "emb_ann_lsh": _q_ann_lsh,
         "emb_ann_ivf": _q_ann_ivf,
         "multimodal_media_synth": _q_multimodal_synth,
@@ -1007,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnow_fp": _q_docs_winnow_fp,
         "emb_cosine_neardup": _q_emb_neardup,
         "docs_hash_split": _q_docs_hash_split,
+        "percentile_daily": _q_percentile_daily,
     }
 
 
@@ -1983,6 +2002,54 @@ FROM (SELECT doc_id, rtext, lang,
 """
 
 
+
+# exact-substring-dedup CUT stage: string-free k=4 span hashes with
+# positions -> flagged (>=2 distinct docs) -> flatten covered index set
+# -> keep uncovered tokens -> md5 of the reconstructed text
+_DUP_SPAN_CUT = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+th AS (SELECT doc_id, ws,
+              list_transform(ws,
+                t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647) AS hs
+       FROM w),
+hsh AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(hs) >= 4
+           THEN list_transform(range(len(hs) - 3),
+                i -> (((((hs[i+1] * 1000003 + hs[i+2]) % 2147483647) * 1000003
+                      + hs[i+3]) % 2147483647) * 1000003 + hs[i+4]) % 2147483647)
+           ELSE [] END AS s
+  FROM th),
+spn AS (
+  SELECT doc_id, u['pos'] AS pos, u['h'] AS h
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(s)),
+                                     i -> {'pos': i, 'h': s[i+1]})) AS u
+        FROM hsh WHERE len(s) > 0)),
+flagged AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM spn GROUP BY h)
+  WHERE c >= 2),
+starts AS (
+  SELECT doc_id, list_sort(list(pos)) AS st
+  FROM spn WHERE h IN (SELECT h FROM flagged)
+  GROUP BY doc_id),
+staged AS (
+  SELECT h.doc_id, h.ws,
+         list_distinct(flatten(list_transform(coalesce(s.st, []),
+                                              x -> range(x, x + 4)))) AS cov
+  FROM hsh h LEFT JOIN starts s ON h.doc_id = s.doc_id),
+kept AS (
+  SELECT doc_id, ws,
+         list_filter(range(len(ws)), i -> NOT list_contains(cov, i)) AS ki
+  FROM staged)
+SELECT doc_id,
+       md5(array_to_string(list_transform(ki, i -> ws[i+1]), ' ')) AS cut_fp,
+       len(ki)::BIGINT AS n_tokens_kept,
+       (len(ws) - len(ki))::BIGINT AS n_tokens_cut
+FROM kept
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1h": _ROLLUP_1H,
@@ -2046,6 +2113,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_content_drift": _DOCS_CONTENT_DRIFT,
         "neardup_clusters": _NEARDUP_CLUSTERS,
         "corpus_clean_e2e": _CORPUS_E2E,
+        "docs_dup_span_cut": _DUP_SPAN_CUT,
         "docs_pii_redact": _DOCS_PII,
         "docs_repetition": _DOCS_REPETITION,
         "docs_decontam": _DOCS_DECONTAM,

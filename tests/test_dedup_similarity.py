@@ -493,3 +493,30 @@ def test_ann_recall_floor_vs_brute_force(spark):
         hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
         recall = hits / (5 * len(truth))
         assert recall >= 0.8, f"{name} recall@5 = {recall:.2f} < 0.8"
+
+
+def test_cut_duplicate_spans_hand_values(spark):
+    """CUT stage of exact-substring dedup: tokens inside a cross-doc
+    k-gram are removed; within-doc repeats alone never flag; null text
+    passes through as ''."""
+    from yatsm_spark.operators.dedup import cut_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),   # shares "a b" with doc 1
+            (1, "x a b y"),
+            (2, "q q q"),     # "q q" repeats WITHIN one doc only
+            (3, "z"),         # shorter than k: no spans
+            (4, None),        # null -> '' (one empty token)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text_cut, r.n_tokens_kept, r.n_tokens_cut)
+        for r in cut_duplicate_spans(docs, k=2).collect()
+    }
+    assert out[0] == ("c d", 2, 2)
+    assert out[1] == ("x y", 2, 2)
+    assert out[2] == ("q q q", 3, 0)
+    assert out[3] == ("z", 1, 0)
+    assert out[4] == ("", 1, 0)

@@ -375,6 +375,91 @@ def simhash_docs(
     return docs.select(F.col(id_col), simhash64(text_col, bits).alias("simhash"))
 
 
+def cut_duplicate_spans(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """The CUT stage of exact-substring dedup (Lee et al. 2021): remove
+    every token covered by a word k-gram that occurs in >= ``min_docs``
+    DISTINCT documents — :func:`duplicate_span_stats` is the flag stage,
+    this actually rewrites the text.  Returns
+    (id, text_cut, n_tokens_kept, n_tokens_cut); docs with no flagged
+    span pass through unchanged (n_tokens_cut = 0).
+
+    Token i is cut iff some flagged span STARTS at j in [i-k+1, i]
+    (0-based), i.e. the token sits inside at least one cross-document
+    k-gram.  Within-doc repeats alone do not flag (distinct-doc count).
+
+    Scale shape: spans come from :func:`shingle_hash_array` (map-side,
+    string-free); the flagged-span set is one (span, id)-distinct
+    aggregate; flagged START POSITIONS rejoin per doc as a posexplode →
+    semi-join → collect_list (doc-keyed — no skew beyond doc length),
+    and the cut itself is a per-row array filter over the token list
+    with an exists() probe of the doc's own flagged-starts array
+    (|starts| is the doc's duplicated-span count — tiny for clean docs,
+    bounded by doc length always).  The corpus text shuffles ONCE (the
+    doc-keyed join); span traffic is hashes, never strings.
+    """
+    sp = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingle_hash_array(text_col, k)).alias("pos", "h"),
+    )
+    flagged = (
+        sp.select("h", "id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    starts = (
+        sp.join(flagged, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("_starts"))
+    )
+    # null text coalesces to '' (one empty token — split never yields an
+    # empty array, so sequence(0, size-1) is always well-formed)
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_starts"), lambda s: (s <= i) & (i < s + k)
+    )
+    # _toks/_kept land in their own projection: both are referenced
+    # several times downstream, and the O(T*S) exists-probe filter must
+    # run ONCE per row, not once per consumer (CollapseProject keeps
+    # multi-referenced non-trivial aliases in place)
+    staged = (
+        docs.join(starts, F.col(id_col) == F.col("id"), "left")
+        .drop("id")
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.coalesce("_starts", F.array().cast("array<int>")).alias("_starts"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.filter(
+                F.sequence(F.lit(0), F.size("_toks") - 1),
+                lambda i: ~covered(i),
+            ).alias("_kept"),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(
+                "_kept", lambda i: F.element_at("_toks", (i + 1).cast("int"))
+            ),
+            " ",
+        ).alias("text_cut"),
+        F.size("_kept").cast("bigint").alias("n_tokens_kept"),
+        (F.size("_toks") - F.size("_kept")).cast("bigint").alias("n_tokens_cut"),
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     k: int = 4,
