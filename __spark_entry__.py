@@ -463,6 +463,57 @@ def _q_emb_neardup_lsh(spark, sf):
     )
 
 
+def _q_emb_semantic_dedup(spark, sf):
+    """SemDeDup-style embedding dedup: IVF-cell-bucketed, drop any vector
+    with a lower-id within-cell neighbor at cosine >= 0.4 (the testdata's
+    near-dup band — production corpora run ~0.9).  Output keeps EVERY
+    input row with its cell and kept/dropped flag (lineage-first)."""
+    from yatsm_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf, "embeddings"), threshold=0.4, n_cells=16)
+
+
+def _q_counter_increase_1h(spark, sf):
+    """Prometheus-semantics increase() per (user, hour) with counter-reset
+    detection, integer micro-units end-to-end (sums associative-exact, so
+    the result is partitioning- and engine-invariant)."""
+    from yatsm_spark.operators.series import counter_increase
+
+    return counter_increase(
+        _t(spark, sf, "events"), tier="1h", order_tiebreak="event_id"
+    )
+
+
+def _q_jsonl_ingest(spark, sf):
+    """JSONL ingest contract: schema-enforced parse + corrupt-record
+    quarantine, every row surviving.  Lines are built from `documents`
+    via to_json and every doc_id % 97 == 0 line is byte-corrupted, so the
+    quarantine path does real work; doc_id rides as the replay
+    passthrough column."""
+    from pyspark.sql import types as T
+
+    from yatsm_spark.sources.jsonl import parse_json_lines
+
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    lines = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(F.lit("{"), F.to_json(F.struct("lang", "n_chars"))),
+        )
+        .otherwise(F.to_json(F.struct("lang", "n_chars")))
+        .alias("line"),
+    )
+    return parse_json_lines(lines, "line", schema, keep_cols=("doc_id",)).select(
+        "doc_id", "lang", "n_chars", "corrupt"
+    )
+
+
 def _q_docs_hash_split(spark, sf):
     """Deterministic train/val/test split + 10%-sample membership by
     content hash — partition- and cluster-size-invariant (df.sample()'s
@@ -958,7 +1009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # distinct_users_exact, anti_join_orders_no_hiqty, semi_join_highvalue,
     # except_day1_not_daylast, harmonic_projection, pricing_summary,
     # docs_fingerprint, docs_token_regex, docs_winnow_fp, event_type_daily,
-    # emb_cosine_neardup.  See COVERAGE.md for the per-round matrix.
+    # emb_cosine_neardup, and (making room for the three NEW round-4 ops
+    # emb_semantic_dedup / counter_increase_1h / jsonl_ingest)
+    # docs_lang_dist, url_canonicalize, salted_event_stats.
+    # See COVERAGE.md for the per-round matrix.
     return {
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
@@ -975,7 +1029,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_purchase": _q_asof_nearest,
         "topk_users": _q_topk_users,
         "bcast_revenue_by_nation": _q_bcast_revenue,
-        "docs_lang_dist": _q_docs_lang_dist,
         "docs_text_quality": _q_docs_quality,
         "docs_lang_id": _q_docs_lang_id,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -985,10 +1038,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norms": _q_emb_norms,
         "emb_ann_topk": _q_emb_ann,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
-        "url_canonicalize": _q_url_canonicalize,
+        "emb_semantic_dedup": _q_emb_semantic_dedup,
+        "counter_increase_1h": _q_counter_increase_1h,
+        "jsonl_ingest": _q_jsonl_ingest,
         "codec_roundtrip": _q_codec_roundtrip,
         "blob_range_read": _q_blob_range_read,
-        "salted_event_stats": _q_salted_stats,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_guarded": _q_minhash_lsh_guarded,
         "docs_content_drift": _q_docs_content_drift,
@@ -1012,6 +1066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccdc_classify_synth": _classify_synth,
         # ---- below the driver's 50-query window (full-registry coverage
         # via scripts/check_oracle.py; all driver-green in r1-r3) ----
+        "docs_lang_dist": _q_docs_lang_dist,
+        "url_canonicalize": _q_url_canonicalize,
+        "salted_event_stats": _q_salted_stats,
         "event_type_daily": _q_event_type_daily,
         "grouping_rollup": _q_grouping_rollup,
         "distinct_users_exact": _q_distinct_users,
@@ -1757,6 +1814,56 @@ SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
 """
 
 
+_EMB_SEMANTIC_DEDUP = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v
+      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT, vec_id LIMIT 16),
+vs AS (
+  SELECT v.vec_id AS n_id, v.e AS nv, c.cid,
+         {_CS.format(a='v.e', b='c.ce')} AS csim
+  FROM v CROSS JOIN c),
+assign AS (
+  SELECT n_id, nv, cid AS cell FROM (
+    SELECT n_id, nv, cid,
+           row_number() OVER (PARTITION BY n_id ORDER BY csim DESC, cid ASC) AS rn
+    FROM vs) WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.n_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.n_id < b.n_id
+  WHERE {_CS.format(a='a.nv', b='b.nv')} >= 0.4)
+SELECT a.n_id AS vec_id, a.cell,
+       CASE WHEN d.n_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assign a LEFT JOIN dup d ON a.n_id = d.n_id
+"""
+
+
+_COUNTER_INCREASE_1H = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, CAST(floor(value * 1000000) AS BIGINT) AS vu
+  FROM events),
+d AS (
+  SELECT user_id, ts, vu,
+         lag(vu) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM s)
+SELECT user_id, {_b('ts', 3600)} AS bucket_ts,
+       sum(CASE WHEN pv IS NULL THEN 0
+                WHEN vu - pv >= 0 THEN vu - pv
+                ELSE vu END) AS increase_u,
+       count(*) AS n_obs,
+       sum(CASE WHEN pv IS NOT NULL AND vu - pv < 0 THEN 1 ELSE 0 END) AS n_resets
+FROM d GROUP BY 1, 2
+"""
+
+_JSONL_INGEST = """
+SELECT doc_id,
+       CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang,
+       CASE WHEN doc_id % 97 = 0 THEN NULL ELSE n_chars END AS n_chars,
+       CASE WHEN doc_id % 97 = 0 OR (lang IS NULL AND n_chars IS NULL)
+            THEN 1 ELSE 0 END AS corrupt
+FROM documents
+"""
+
+
 def _emb_neardup_lsh_oracle(
     dim: int = 64, n_planes: int = 8, n_tables: int = 2, threshold: float = 0.4
 ) -> str:
@@ -2091,6 +2198,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_topk": _EMB_ANN,
         "emb_cosine_neardup": _EMB_NEARDUP,
         "emb_neardup_lsh": _emb_neardup_lsh_oracle(n_planes=4, n_tables=4),
+        "emb_semantic_dedup": _EMB_SEMANTIC_DEDUP,
+        "counter_increase_1h": _COUNTER_INCREASE_1H,
+        "jsonl_ingest": _JSONL_INGEST,
         "docs_token_regex": _DOCS_TOKEN_REGEX,
         "url_canonicalize": _URL_CANON,
         "docs_hash_split": _DOCS_HASH_SPLIT,

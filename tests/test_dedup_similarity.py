@@ -520,3 +520,51 @@ def test_cut_duplicate_spans_hand_values(spark):
     assert out[2] == ("q q q", 3, 0)
     assert out[3] == ("z", 1, 0)
     assert out[4] == ("", 1, 0)
+
+
+def test_semantic_dedup_hand_values_single_cell(spark):
+    """n_cells=1 puts everything in one cell, so the keep rule is pure
+    'dropped iff a lower-id neighbor >= threshold exists' — hand-checkable."""
+    from yatsm_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # ~v0 -> dropped
+        (2, [0.0, 1.0, 0.0]),      # orthogonal -> kept
+        (3, [0.01, 0.999, 0.0]),   # ~v2 -> dropped
+        (4, [0.0, 0.0, 1.0]),      # orthogonal -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in semantic_dedup(df, 0.95, n_cells=1).collect()}
+    assert out == {0: 1, 1: 0, 2: 1, 3: 0, 4: 1}
+
+
+def test_semantic_dedup_clustered_invariants(spark):
+    """On seeded clustered embeddings: every row survives to the output,
+    the min-id member of each cell is always kept, and dense duplicate
+    groups actually lose members (the filter does real work)."""
+    import numpy as np
+
+    from yatsm_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    dim = 12
+    cents = rng.normal(size=(10, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in cents:
+        for _ in range(15):
+            v = c + 0.05 * rng.normal(size=dim)  # tight: within-cluster sim ~0.99
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.9, n_cells=10).collect()
+    assert len(out) == 150  # lineage: every input row present
+    kept = [r for r in out if r["kept"] == 1]
+    assert 5 <= len(kept) <= 40  # ~1 representative per dense group survives
+    by_cell_min = {}
+    for r in out:
+        cur = by_cell_min.get(r["cell"])
+        if cur is None or r["vec_id"] < cur["vec_id"]:
+            by_cell_min[r["cell"]] = r
+    assert all(r["kept"] == 1 for r in by_cell_min.values())

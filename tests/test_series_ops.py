@@ -171,3 +171,53 @@ def test_content_drift_consecutive_suppresses_single_flap(spark):
         for r in content_drift(tail, threshold=6, consecutive=2).collect()
     }
     assert dt[3] == 0
+
+
+def test_counter_increase_resets_and_buckets(spark):
+    """Hand-derived Prometheus increase() semantics: positive deltas sum,
+    a drop is a reset (contributes the post-reset reading), a key's first
+    observation contributes 0, buckets split on the hour."""
+    from yatsm_spark.operators.series import counter_increase
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0), 1, 10.0),
+        ("a", datetime(2024, 1, 1, 0, 20), 2, 12.5),   # +2.5
+        ("a", datetime(2024, 1, 1, 0, 40), 3, 3.0),    # reset -> +3.0
+        ("a", datetime(2024, 1, 1, 0, 50), 4, 4.0),    # +1.0
+        ("a", datetime(2024, 1, 1, 1, 10), 5, 6.0),    # next bucket, +2.0
+        ("b", datetime(2024, 1, 1, 0, 5), 6, 100.0),   # first obs -> 0
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, value double"
+    )
+    out = {
+        (r["user_id"], r["bucket_ts"].isoformat()): r
+        for r in counter_increase(
+            df, "1h", key_col="user_id", order_tiebreak="event_id"
+        ).collect()
+    }
+    a0 = out[("a", "2024-01-01T00:00:00")]
+    assert a0["increase_u"] == 6_500_000  # 0 + 2.5 + 3.0 + 1.0
+    assert a0["n_obs"] == 4 and a0["n_resets"] == 1
+    a1 = out[("a", "2024-01-01T01:00:00")]
+    assert a1["increase_u"] == 2_000_000 and a1["n_resets"] == 0
+    b0 = out[("b", "2024-01-01T00:00:00")]
+    assert b0["increase_u"] == 0 and b0["n_obs"] == 1 and b0["n_resets"] == 0
+
+
+def test_counter_increase_tiebreak_total_order(spark):
+    """Colliding timestamps: the explicit tiebreak column makes the lag
+    order total, so the result is run-invariant (and hand-checkable)."""
+    from yatsm_spark.operators.series import counter_increase
+
+    ts = datetime(2024, 1, 1, 0, 30)
+    rows = [("a", ts, 2, 5.0), ("a", ts, 1, 7.0)]  # event 1 BEFORE event 2
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, value double"
+    )
+    out = counter_increase(
+        df, "1h", key_col="user_id", order_tiebreak="event_id"
+    ).collect()
+    assert len(out) == 1
+    # order by (ts, event_id): 7.0 then 5.0 -> reset, contributes 5.0
+    assert out[0]["increase_u"] == 5_000_000 and out[0]["n_resets"] == 1

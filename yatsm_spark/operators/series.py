@@ -440,3 +440,72 @@ def content_drift(
     return sh.select(
         key_col, order_col, hamming.alias("hamming"), drift.alias("drift")
     ).filter(F.col("hamming").isNotNull())
+
+
+def counter_increase(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Monotonic-counter INCREASE per (key, tumbling bucket) with counter
+    RESET detection — the rate()/increase() primitive every metrics-grade
+    timeseries engine ships (Prometheus/Timescale semantics): a counter
+    only ever climbs; a drop means the process restarted and the counter
+    rebased near zero, so the post-reset reading itself is the increase
+    contribution (delta would be a huge negative lie).
+
+        delta_t = v_t - v_{t-1}   (per key, observation order)
+        contrib = delta_t if delta_t >= 0 else v_t      # reset
+        first observation of a key contributes 0 (no baseline)
+
+    Returns (key, bucket_ts, increase_u: bigint, n_obs, n_resets) where
+    ``increase_u`` is in 1/``scale`` units: values are scaled to integer
+    micro-units with floor(value * scale) BEFORE differencing, so sums
+    are associative-exact — engine, partitioning, and cluster-size
+    invariant (the same integer-exactness rule the tier cascade uses;
+    a double sum's value depends on reduction order and would not
+    hash-match an oracle).
+
+    Scale shape (100 TB): ONE window exchange+sort on the key for the
+    lag, then a hash aggregate on (key, bucket) with map-side partial
+    aggregation — the same two-stage profile as sessionize/locf; on the
+    key-bucketed presorted layout (sources/storage.py) the window
+    exchange vanishes.  ``order_tiebreak`` (e.g. an event id) makes the
+    lag order total when timestamps can collide — without it, same-ts
+    rows would make the result run-dependent.
+
+    Reference analog: none — YATSM models values, it never meters them
+    [U]; this is north_star continuous-aggregate surface (BASELINE.json
+    rollup family) extended to counter semantics.
+    """
+    order_cols = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    vu = F.floor(F.col(value_col) * scale).cast("long")
+    scaled = df.select(
+        F.col(key_col), F.col(ts_col), vu.alias("_vu"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+    )
+    prev = F.lag("_vu").over(w)
+    delta = F.col("_vu") - prev
+    contrib = (
+        F.when(prev.isNull(), F.lit(0).cast("long"))
+        .when(delta >= 0, delta)
+        .otherwise(F.col("_vu"))
+    )
+    is_reset = F.when(prev.isNotNull() & (delta < 0), 1).otherwise(0)
+    return (
+        scaled.withColumn("_contrib", contrib)
+        .withColumn("_reset", is_reset)
+        .groupBy(F.col(key_col), bucket_col(ts_col, tier).alias("bucket_ts"))
+        .agg(
+            F.sum("_contrib").alias("increase_u"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("_reset").cast("bigint").alias("n_resets"),
+        )
+    )

@@ -270,6 +270,43 @@ def lsh_bucket_topk(
     )
 
 
+def _coarse_quantize(vectors: DataFrame, n_cells: int, id_col: str, vec_col: str):
+    """Shared IVF coarse quantizer: deterministic hash-stratified centroid
+    sample + map-side nearest-cell assignment (see :func:`ivf_topk` docstring
+    for why this stands in for k-means).  Returns ``(cents, cell_scores,
+    assign)`` where ``assign`` has columns (n_id, cell, n_vec)."""
+    seed_hash = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    cents = (
+        vectors.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"), seed_hash.alias("_h")
+        )
+        .orderBy(F.col("_h").asc(), F.col("cid").asc())
+        .limit(n_cells)
+        .drop("_h")
+    )
+
+    def cell_scores(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(f"{name}_id"), F.col(vec_col).alias(f"{name}_vec"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("csim", F.round(cosine_sim_col(F.col(f"{name}_vec"), F.col("c_vec")), 6))
+        )
+
+    assign = (
+        cell_scores(vectors, "n")
+        .groupBy("n_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("csim")).alias("nsim"), F.col("cid"), F.col("n_vec"))
+            ).alias("_s")
+        )
+        .select("n_id", F.col("_s.cid").alias("cell"), F.col("_s.n_vec").alias("n_vec"))
+    )
+    return cents, cell_scores, assign
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -303,35 +340,7 @@ def ivf_topk(
     every comparison, so a DuckDB oracle reproduces cell assignment,
     probing, and ranking exactly.
     """
-    seed_hash = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    cents = (
-        vectors.select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"), seed_hash.alias("_h")
-        )
-        .orderBy(F.col("_h").asc(), F.col("cid").asc())
-        .limit(n_cells)
-        .drop("_h")
-    )
-
-    def cell_scores(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias(f"{name}_id"), F.col(vec_col).alias(f"{name}_vec"))
-            .crossJoin(F.broadcast(cents))
-            .withColumn("csim", F.round(cosine_sim_col(F.col(f"{name}_vec"), F.col("c_vec")), 6))
-        )
-
-    assign = (
-        cell_scores(vectors, "n")
-        .groupBy("n_id")
-        .agg(
-            F.min(
-                F.struct((-F.col("csim")).alias("nsim"), F.col("cid"), F.col("n_vec"))
-            ).alias("_s")
-        )
-        .select("n_id", F.col("_s.cid").alias("cell"), F.col("_s.n_vec").alias("n_vec"))
-    )
+    cents, cell_scores, assign = _coarse_quantize(vectors, n_cells, id_col, vec_col)
     from pyspark.sql import Window
 
     wq = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
@@ -351,4 +360,73 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "sim", "rank")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level SEMANTIC dedup (SemDeDup re-derived from Abbas et
+    al. 2023, arXiv:2303.09540): assign every vector to its nearest
+    coarse-quantizer cell (the same deterministic hash-stratified
+    quantizer as :func:`ivf_topk`), compare pairs ONLY within a cell, and
+    drop any vector whose cell contains a LOWER-id vector with cosine
+    similarity >= ``threshold``.  Two docs that say the same thing in
+    different words collide here even when MinHash/SimHash (lexical
+    families) miss them — this is the third, embedding-space leg of the
+    dedup stack.
+
+    Keep policy: "kept iff no lower-id within-cell neighbor above
+    threshold" — a single anti-join, deterministic for any orderable id.
+    (The paper keeps one representative per epsilon-ball; the one-pass
+    lower-id rule is its non-iterative relaxation: every dense group
+    keeps exactly its min-id member, and a chain A~B~C with A~C below
+    threshold keeps A and C — slightly more aggressive than sequential
+    greedy, which is the right bias for a dedup FILTER.  Transitive
+    clusters, when wanted, come from feeding :func:`lsh_neardup_pairs`
+    into operators/graph.py connected components instead.)
+
+    Returns one row per input vector: (vec_id, cell, kept int 0/1) —
+    lineage-friendly (the dropped set and its cells are first-class, as
+    jobs/corpus.py stage metrics require).
+
+    Scale shape (100 TB): cell assignment is map-side against a broadcast
+    centroid set; the only shuffles are the cell-keyed self-join and the
+    id-keyed anti-join.  Within-cell work is O(sum cell_pop^2) — the
+    SemDeDup design point: n_cells grows with N (the paper runs ~10k
+    clusters at 100M docs) so cell populations stay bounded; the
+    hash-stratified sample keeps cells density-proportional (skew bound
+    asserted in tests/test_dedup_similarity.py).  Sims rounded to 6dp
+    before the threshold test, so a DuckDB oracle reproduces assignment
+    and the keep decision exactly.
+
+    Reference analog: none — YATSM has no embedding surface [U]; this is
+    task-brief training-data-pipeline coverage (embedding-cosine near-dup
+    at the corpus-dedup stage rather than pairwise-report stage).
+    """
+    _, _, assign = _coarse_quantize(vectors, n_cells, id_col, vec_col)
+    a = assign.select(
+        F.col("cell"), F.col("n_id").alias("id_a"), F.col("n_vec").alias("va")
+    )
+    b = assign.select(
+        F.col("cell"), F.col("n_id").alias("id_b"), F.col("n_vec").alias("vb")
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias("n_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dup.withColumn("_dup", F.lit(1)), "n_id", "left")
+        .select(
+            F.col("n_id").alias(id_col),
+            "cell",
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("kept"),
+        )
     )
