@@ -514,6 +514,20 @@ def _q_jsonl_ingest(spark, sf):
     )
 
 
+def _q_docs_nb_lang(spark, sf):
+    """Multinomial Naive Bayes train + score as pure aggregations: train on
+    doc_id % 5 != 0 with `lang` as the label, argmax-score the held-out
+    fifth.  Testdata langs are synthetic (uncorrelated with text), so the
+    PREDICTIONS carry no skill — what the oracle pins is that one-pass
+    distributed training and integer-micro-nat scoring are engine- and
+    partitioning-exact end-to-end."""
+    from yatsm_spark.operators.textclass import nb_predict, nb_train
+
+    docs = _t(spark, sf, "documents")
+    weights, labels = nb_train(docs.filter(F.col("doc_id") % 5 != 0), label_col="lang")
+    return nb_predict(docs.filter(F.col("doc_id") % 5 == 0), weights, labels)
+
+
 def _q_docs_hash_split(spark, sf):
     """Deterministic train/val/test split + 10%-sample membership by
     content hash — partition- and cluster-size-invariant (df.sample()'s
@@ -1009,10 +1023,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # distinct_users_exact, anti_join_orders_no_hiqty, semi_join_highvalue,
     # except_day1_not_daylast, harmonic_projection, pricing_summary,
     # docs_fingerprint, docs_token_regex, docs_winnow_fp, event_type_daily,
-    # emb_cosine_neardup, and (making room for the three NEW round-4 ops
-    # emb_semantic_dedup / counter_increase_1h / jsonl_ingest)
-    # docs_lang_dist, url_canonicalize, salted_event_stats.
-    # See COVERAGE.md for the per-round matrix.
+    # emb_cosine_neardup, and (making room for the four NEW round-4 ops
+    # emb_semantic_dedup / counter_increase_1h / jsonl_ingest /
+    # docs_nb_lang) docs_lang_dist, url_canonicalize, salted_event_stats,
+    # bcast_revenue_by_nation.  See COVERAGE.md for the per-round matrix.
     return {
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
@@ -1028,7 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_prev_purchase": _q_asof_prev_purchase,
         "asof_nearest_purchase": _q_asof_nearest,
         "topk_users": _q_topk_users,
-        "bcast_revenue_by_nation": _q_bcast_revenue,
+        "docs_nb_lang": _q_docs_nb_lang,
         "docs_text_quality": _q_docs_quality,
         "docs_lang_id": _q_docs_lang_id,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -1069,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_dist": _q_docs_lang_dist,
         "url_canonicalize": _q_url_canonicalize,
         "salted_event_stats": _q_salted_stats,
+        "bcast_revenue_by_nation": _q_bcast_revenue,
         "event_type_daily": _q_event_type_daily,
         "grouping_rollup": _q_grouping_rollup,
         "distinct_users_exact": _q_distinct_users,
@@ -1854,6 +1869,47 @@ SELECT user_id, {_b('ts', 3600)} AS bucket_ts,
 FROM d GROUP BY 1, 2
 """
 
+_DOCS_NB_LANG = """
+WITH train AS (
+  SELECT doc_id, lang AS label, coalesce(text, '') AS text
+  FROM documents WHERE doc_id % 5 != 0),
+test AS (
+  SELECT doc_id, coalesce(text, '') AS text
+  FROM documents WHERE doc_id % 5 = 0),
+ttok AS (SELECT doc_id, label, unnest(string_split(text, ' ')) AS token FROM train),
+counts AS (SELECT label, token, count(*) AS c FROM ttok GROUP BY 1, 2),
+v AS (SELECT count(DISTINCT token) AS vocab_n FROM counts),
+totals AS (SELECT label, sum(c) AS total_tokens FROM counts GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM train),
+dc AS (SELECT label, count(*) AS n_docs_l FROM train GROUP BY 1),
+weights AS (
+  SELECT label, token,
+         CAST(floor(1000000 * ln((c + 1)::DOUBLE
+                                 / (total_tokens + vocab_n)::DOUBLE)) AS BIGINT) AS w
+  FROM counts JOIN totals USING (label) CROSS JOIN v),
+labels AS (
+  SELECT label,
+         CAST(floor(1000000 * ln(n_docs_l::DOUBLE / n_docs::DOUBLE)) AS BIGINT) AS prior,
+         CAST(floor(1000000 * ln(1.0 / (total_tokens + vocab_n)::DOUBLE)) AS BIGINT) AS oov_w
+  FROM dc JOIN totals USING (label) CROSS JOIN v CROSS JOIN nd),
+stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test),
+ntok AS (SELECT doc_id, count(*) AS n_tokens FROM stok GROUP BY 1),
+seen AS (
+  SELECT s.doc_id, w.label, sum(w.w) AS sum_w, count(*) AS n_seen
+  FROM stok s JOIN weights w USING (token) GROUP BY 1, 2),
+scored AS (
+  SELECT n.doc_id, l.label,
+         l.prior + coalesce(se.sum_w, 0)
+                 + (n.n_tokens - coalesce(se.n_seen, 0)) * l.oov_w AS score
+  FROM ntok n CROSS JOIN labels l
+  LEFT JOIN seen se ON se.doc_id = n.doc_id AND se.label = l.label)
+SELECT doc_id, label AS pred_label, score FROM (
+  SELECT scored.*,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+  FROM scored)
+WHERE rn = 1
+"""
+
 _JSONL_INGEST = """
 SELECT doc_id,
        CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang,
@@ -2201,6 +2257,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_semantic_dedup": _EMB_SEMANTIC_DEDUP,
         "counter_increase_1h": _COUNTER_INCREASE_1H,
         "jsonl_ingest": _JSONL_INGEST,
+        "docs_nb_lang": _DOCS_NB_LANG,
         "docs_token_regex": _DOCS_TOKEN_REGEX,
         "url_canonicalize": _URL_CANON,
         "docs_hash_split": _DOCS_HASH_SPLIT,
