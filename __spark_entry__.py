@@ -528,6 +528,32 @@ def _q_docs_nb_lang(spark, sf):
     return nb_predict(docs.filter(F.col("doc_id") % 5 == 0), weights, labels)
 
 
+def _q_docs_lm_score(spark, sf):
+    """Bigram-LM perplexity scoring (CCNet quality gate): train the add-one
+    bigram model on doc_id % 5 != 0, score the held-out fifth.  Exact
+    integer micro-nat sums, so the oracle pins one-pass distributed
+    training + broadcast-probe scoring end-to-end (operators/lm.py)."""
+    from yatsm_spark.operators.lm import lm_score, lm_train
+
+    docs = _t(spark, sf, "documents")
+    weights, prev_stats = lm_train(docs.filter(F.col("doc_id") % 5 != 0))
+    return lm_score(docs.filter(F.col("doc_id") % 5 == 0), weights, prev_stats)
+
+
+def _q_docs_dsir_score(spark, sf):
+    """DSIR importance scoring (Xie et al. 2023): fit hashed-{1,2}-gram
+    multinomials on target = doc_id % 7 == 0 vs raw = the rest, score the
+    raw side.  Integer micro-nat bucket log-ratios make the per-doc sums
+    engine/partitioning-exact (operators/dsir.py)."""
+    from yatsm_spark.operators.dsir import dsir_fit, dsir_score
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    lam = dsir_fit(target, raw, n_buckets=65536)
+    return dsir_score(raw, lam, n_buckets=65536)
+
+
 def _q_docs_hash_split(spark, sf):
     """Deterministic train/val/test split + 10%-sample membership by
     content hash — partition- and cluster-size-invariant (df.sample()'s
@@ -1004,7 +1030,9 @@ def _q_corpus_clean_e2e(spark, sf):
         "text",
         "lang",
     )
-    cleaned, _m = clean_corpus(crawl)
+    # portable tier: the DuckDB twin recomputes MinHash signatures, so
+    # this query pins the md5 hash domain (production default is "fast")
+    cleaned, _m = clean_corpus(crawl, minhash_hash_fn="portable")
     return cleaned.select(
         "doc_id", fingerprint("text").alias("text_fp"), "lang", "split"
     )
@@ -1023,10 +1051,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # distinct_users_exact, anti_join_orders_no_hiqty, semi_join_highvalue,
     # except_day1_not_daylast, harmonic_projection, pricing_summary,
     # docs_fingerprint, docs_token_regex, docs_winnow_fp, event_type_daily,
-    # emb_cosine_neardup, and (making room for the four NEW round-4 ops
+    # emb_cosine_neardup, and (making room for the six NEW round-4 ops
     # emb_semantic_dedup / counter_increase_1h / jsonl_ingest /
-    # docs_nb_lang) docs_lang_dist, url_canonicalize, salted_event_stats,
-    # bcast_revenue_by_nation.  See COVERAGE.md for the per-round matrix.
+    # docs_nb_lang / docs_lm_score / docs_dsir_score) docs_lang_dist,
+    # url_canonicalize, salted_event_stats, bcast_revenue_by_nation,
+    # topk_users, sessionize_30m.  See COVERAGE.md for the matrix.
     return {
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
@@ -1037,11 +1066,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_1h": _q_locf_1h,
         "ohlc_daily": _q_ohlc_daily,
         "sliding_mean_24h": _q_sliding_24h,
-        "sessionize_30m": _q_sessionize,
         "window_deltas": _q_window_deltas,
         "asof_prev_purchase": _q_asof_prev_purchase,
         "asof_nearest_purchase": _q_asof_nearest,
-        "topk_users": _q_topk_users,
+        "docs_lm_score": _q_docs_lm_score,
+        "docs_dsir_score": _q_docs_dsir_score,
         "docs_nb_lang": _q_docs_nb_lang,
         "docs_text_quality": _q_docs_quality,
         "docs_lang_id": _q_docs_lang_id,
@@ -1084,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "salted_event_stats": _q_salted_stats,
         "bcast_revenue_by_nation": _q_bcast_revenue,
+        "topk_users": _q_topk_users,
+        "sessionize_30m": _q_sessionize,
         "event_type_daily": _q_event_type_daily,
         "grouping_rollup": _q_grouping_rollup,
         "distinct_users_exact": _q_distinct_users,
@@ -1910,6 +1941,100 @@ SELECT doc_id, label AS pred_label, score FROM (
 WHERE rn = 1
 """
 
+_DOCS_LM_SCORE = """
+WITH train AS (
+  SELECT doc_id, coalesce(text, '') AS text
+  FROM documents WHERE doc_id % 5 != 0),
+test AS (
+  SELECT doc_id, coalesce(text, '') AS text
+  FROM documents WHERE doc_id % 5 = 0),
+ttok AS (SELECT unnest(string_split(text, ' ')) AS token FROM train),
+uni AS (SELECT token, count(*) AS c1 FROM ttok GROUP BY 1),
+v AS (SELECT count(*) AS vocab_n FROM uni),
+tw AS (SELECT string_split(text, ' ') AS ws FROM train),
+tbi AS (
+  SELECT unnest(list_transform(range(len(ws) - 1), i -> ws[i+1])) AS prev,
+         unnest(list_transform(range(len(ws) - 1), i -> ws[i+2])) AS cur
+  FROM tw WHERE len(ws) >= 2),
+c2 AS (SELECT prev, cur, count(*) AS n2 FROM tbi GROUP BY 1, 2),
+ctx AS (SELECT token AS prev, c1 + vocab_n AS den FROM uni CROSS JOIN v),
+weights AS (
+  SELECT prev, cur,
+         CAST(floor(1000000 * ln((n2 + 1)::DOUBLE / den::DOUBLE)) AS BIGINT) AS w
+  FROM c2 JOIN ctx USING (prev)),
+prevs AS (
+  SELECT prev,
+         CAST(floor(1000000 * ln(1.0 / den::DOUBLE)) AS BIGINT) AS oov_w
+  FROM ctx),
+sw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM test),
+sbi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(ws) - 1), i -> ws[i+1])) AS prev,
+         unnest(list_transform(range(len(ws) - 1), i -> ws[i+2])) AS cur
+  FROM sw WHERE len(ws) >= 2),
+pos AS (
+  SELECT s.doc_id,
+         coalesce(w.w, p.oov_w,
+                  CAST(floor(1000000 * ln(1.0 / (SELECT vocab_n FROM v)::DOUBLE))
+                       AS BIGINT)) AS pw
+  FROM sbi s
+  LEFT JOIN weights w ON w.prev = s.prev AND w.cur = s.cur
+  LEFT JOIN prevs p ON p.prev = s.prev),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(pw) AS sum_w FROM pos GROUP BY 1)
+SELECT t.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.sum_w, 0) AS sum_w
+FROM test t LEFT JOIN agg a USING (doc_id)
+"""
+
+_DOCS_DSIR_SCORE = """
+WITH tgt AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents WHERE doc_id % 7 = 0),
+raw AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents WHERE doc_id % 7 != 0),
+tfe AS (
+  SELECT unnest(list_concat(
+           list_transform(hs, h -> h % 65536),
+           CASE WHEN len(hs) >= 2
+             THEN list_transform(range(len(hs) - 1),
+                  i -> ((hs[i+1] * 1000003 + hs[i+2]) % 2147483647) % 65536)
+             ELSE [] END)) AS bucket
+  FROM (SELECT list_transform(string_split(text, ' '),
+               t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647) AS hs
+        FROM tgt)),
+rfe AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           list_transform(hs, h -> h % 65536),
+           CASE WHEN len(hs) >= 2
+             THEN list_transform(range(len(hs) - 1),
+                  i -> ((hs[i+1] * 1000003 + hs[i+2]) % 2147483647) % 65536)
+             ELSE [] END)) AS bucket
+  FROM (SELECT doc_id,
+               list_transform(string_split(text, ' '),
+               t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647) AS hs
+        FROM raw)),
+tc AS (SELECT bucket, count(*) AS tc FROM tfe GROUP BY 1),
+rc AS (SELECT bucket, count(*) AS rc FROM rfe GROUP BY 1),
+tn AS (SELECT count(*) AS t_total FROM tfe),
+rn AS (SELECT count(*) AS r_total FROM rfe),
+lam AS (
+  SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+         CAST(floor(1000000 * ln((coalesce(tc.tc, 0) + 1)::DOUBLE
+                                 / (t_total + 65536)::DOUBLE)) AS BIGINT)
+       - CAST(floor(1000000 * ln((coalesce(rc.rc, 0) + 1)::DOUBLE
+                                 / (r_total + 65536)::DOUBLE)) AS BIGINT) AS lam
+  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+  CROSS JOIN tn CROSS JOIN rn),
+agg AS (
+  SELECT f.doc_id, count(*) AS n_feats, sum(coalesce(l.lam, 0)) AS logratio_sum
+  FROM rfe f LEFT JOIN lam l ON l.bucket = f.bucket GROUP BY 1)
+SELECT r.doc_id,
+       coalesce(a.n_feats, 0) AS n_feats,
+       coalesce(a.logratio_sum, 0) AS logratio_sum
+FROM raw r LEFT JOIN agg a USING (doc_id)
+"""
+
 _JSONL_INGEST = """
 SELECT doc_id,
        CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang,
@@ -2206,7 +2331,10 @@ kept AS (
          list_filter(range(len(ws)), i -> NOT list_contains(cov, i)) AS ki
   FROM staged)
 SELECT doc_id,
-       md5(array_to_string(list_transform(ki, i -> ws[i+1]), ' ')) AS cut_fp,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+       -- array_join: coalesce so fully-cut docs hash like Spark's
+       md5(coalesce(array_to_string(list_transform(ki, i -> ws[i+1]), ' '), ''))
+         AS cut_fp,
        len(ki)::BIGINT AS n_tokens_kept,
        (len(ws) - len(ki))::BIGINT AS n_tokens_cut
 FROM kept
@@ -2258,6 +2386,8 @@ def oracle_sql() -> dict[str, str]:
         "counter_increase_1h": _COUNTER_INCREASE_1H,
         "jsonl_ingest": _JSONL_INGEST,
         "docs_nb_lang": _DOCS_NB_LANG,
+        "docs_lm_score": _DOCS_LM_SCORE,
+        "docs_dsir_score": _DOCS_DSIR_SCORE,
         "docs_token_regex": _DOCS_TOKEN_REGEX,
         "url_canonicalize": _URL_CANON,
         "docs_hash_split": _DOCS_HASH_SPLIT,

@@ -104,12 +104,20 @@ def clean_corpus(
     domain_cap_n: int | None = None,
     token_budget: int | None = None,
     lsh_max_bucket: int | None = None,
+    minhash_hash_fn: str = "fast",
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run stages 1-6; returns (cleaned corpus df, per-stage row counts).
 
     The returned df has (doc_id=url, text redacted, lang, split) and is
     deterministic: every keep/drop decision derives from content hashes
     and min-id tie-breaks, never from partitioning or sampling.
+
+    ``minhash_hash_fn``: "fast" (xxhash64 token hashing — the production
+    tier; the r4 campaign jstack'd ~80% of 8-core pipeline CPU inside the
+    interpreted portable-md5 lambda) or "portable" (md5, DuckDB-oracle-
+    reproducible — the driver's corpus_clean_e2e twin uses this).  Must
+    be held CONSTANT across a corpus lifetime: catalogs store signatures
+    in the chosen hash domain (see build_catalog / incremental_clean).
     """
     m: dict[str, int] = {}
 
@@ -133,6 +141,7 @@ def clean_corpus(
         bands=minhash_bands,
         k=3,
         max_bucket=lsh_max_bucket,
+        hash_fn=minhash_hash_fn,
     ).filter(F.col("sig_sim") >= neardup_threshold)
     clusters = neardup_clusters(pairs)
     losers = clusters.filter(~F.col("is_keeper")).select("doc_id")
@@ -193,6 +202,7 @@ def build_catalog(
     crawl: DataFrame,
     minhash_hashes: int = 16,
     minhash_bands: int = 4,
+    minhash_hash_fn: str = "fast",
 ) -> DataFrame:
     """Ingestion-ledger catalog rows (doc_id, fp, sig) for EVERY
     canonical url in the crawl's snapshot — kept or dropped — derived
@@ -220,9 +230,9 @@ def build_catalog(
     from yatsm_spark.operators.dedup import minhash_signatures
 
     snap = snapshot(crawl)
-    sigs = minhash_signatures(snap, minhash_hashes, k=3).select(
-        F.col("id").alias("doc_id"), "sig"
-    )
+    sigs = minhash_signatures(
+        snap, minhash_hashes, k=3, hash_fn=minhash_hash_fn
+    ).select(F.col("id").alias("doc_id"), "sig")
     return (
         snap.select("doc_id", fingerprint("text").alias("fp"))
         .join(sigs, "doc_id", "left")
@@ -269,6 +279,7 @@ def incremental_clean(
     min_tokens: int = 5,
     minhash_bands: int = 4,
     minhash_hashes: int = 16,
+    minhash_hash_fn: str = "fast",
 ) -> tuple[DataFrame, dict[str, int]]:
     """Fold a crawl delta into an existing cleaned corpus WITHOUT
     re-reading the corpus: every keep/drop decision joins the delta
@@ -322,7 +333,9 @@ def incremental_clean(
     snap.unpersist()
 
     # -- 2. near-dup: within-delta clusters + delta-vs-catalog matches
-    sig = minhash_signatures(uniq, minhash_hashes, k=3)
+    # hash_fn MUST match the catalog's build tier: band keys derive from
+    # sig values, so mixed domains silently never match
+    sig = minhash_signatures(uniq, minhash_hashes, k=3, hash_fn=minhash_hash_fn)
     banded = band_signatures(sig, minhash_hashes, bands=minhash_bands).persist()
     a, b = banded.alias("a"), banded.alias("b")
 

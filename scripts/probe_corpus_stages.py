@@ -57,7 +57,9 @@ def main() -> None:
     snap.unpersist()
 
     t0 = time.time()
-    pairs = minhash_lsh_pairs(uniq, n_hashes=16, bands=4, k=3, max_bucket=256).filter(
+    pairs = minhash_lsh_pairs(
+        uniq, n_hashes=16, bands=4, k=3, max_bucket=256, hash_fn="fast"
+    ).filter(
         F.col("sig_sim") >= 0.5
     ).persist()
     np_ = pairs.count()

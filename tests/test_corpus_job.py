@@ -69,7 +69,9 @@ def test_clean_corpus_neardup_keeps_one_per_cluster(spark):
         "left_semi",
     )
     cl = neardup_clusters(
-        minhash_lsh_pairs(uniq, n_hashes=16, bands=4, k=3).filter(
+        # "fast" tier: must match clean_corpus's production default so the
+        # expected cluster membership is derived in the same hash domain
+        minhash_lsh_pairs(uniq, n_hashes=16, bands=4, k=3, hash_fn="fast").filter(
             F.col("sig_sim") >= 0.5
         )
     )

@@ -60,6 +60,28 @@ def test_minhash_identical_sigs_for_dups(docs):
     assert pairs[(0, 3)] == 1.0
 
 
+def test_minhash_hash_tiers_same_dedup_semantics(docs):
+    """The "fast" (xxhash64) production tier and the "portable" (md5)
+    oracle tier live in different hash domains but must make the SAME
+    dedup decisions: identical docs -> identical sigs, and the >=0.5
+    LSH pair set over the fixture corpus is equal (planted dups are
+    either exact or far, so the tiers cannot legitimately disagree)."""
+    sigs_fast = {r["id"]: r["sig"] for r in minhash_signatures(docs, hash_fn="fast").collect()}
+    sigs_port = {r["id"]: r["sig"] for r in minhash_signatures(docs, hash_fn="portable").collect()}
+    assert set(sigs_fast) == set(sigs_port)  # same docs survive (>=k tokens)
+    assert sigs_fast[0] == sigs_fast[3] and sigs_port[0] == sigs_port[3]
+    assert sigs_fast[0] != sigs_port[0]  # genuinely different domains
+    pf = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, hash_fn="fast").filter("sig_sim >= 0.5").collect()
+    }
+    pp = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, hash_fn="portable").filter("sig_sim >= 0.5").collect()
+    }
+    assert pf == pp
+
+
 def test_simhash_hamming(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs, bits=32).collect()}
     assert sh[0] == sh[3]

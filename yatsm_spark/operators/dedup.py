@@ -144,30 +144,46 @@ def shingle_array(text_col: str | F.Column, k: int = 3) -> F.Column:
 _SHINGLE_BASE = 1000003
 
 
-def shingle_hash_array(text_col: str | F.Column, k: int = 3) -> F.Column:
+def shingle_hash_array(
+    text_col: str | F.Column, k: int = 3, hash_fn: str = "portable"
+) -> F.Column:
     """Word k-shingle HASHES as an array<bigint> — string-free shingling.
 
-    Hashes every token ONCE (portable_hash64 mod _PRIME), then combines
-    each k-window arithmetically: h = fold(h*B + t_j mod _PRIME) over the
-    window — a polynomial rolling hash in the 31-bit field, built with
-    the same zip_with-of-offset-slices shape as :func:`shingle_array`
-    but over bigints.  The k-gram STRING is never materialized: the old
-    path concat-allocated every k-gram (~3x the corpus text volume in
-    short-lived strings) and then md5'd each — pure memory-bandwidth
-    work, which the corpus scaling campaign measured as the binding
-    resource on the MinHash path (BENCH/BASELINE.md round-3: pipeline
-    weak-scaling 0.69 vs 0.81 node ceiling).  Collision rate of the
-    combiner is ~1/_PRIME per pair — the same order as the 32-bit
-    truncated-md5 token hash itself.
+    Hashes every token ONCE, then combines each k-window arithmetically:
+    h = fold(h*B + t_j mod _PRIME) over the window — a polynomial rolling
+    hash in the 31-bit field, built with the same
+    zip_with-of-offset-slices shape as :func:`shingle_array` but over
+    bigints.  The k-gram STRING is never materialized: the old path
+    concat-allocated every k-gram (~3x the corpus text volume in
+    short-lived strings) and then md5'd each.  Collision rate of the
+    combiner is ~1/_PRIME per pair — the same order as the token hash
+    itself.
 
-    Cross-engine exact: per-token hash is the portable md5 prefix; the
-    polynomial fold is plain bigint arithmetic with every intermediate
-    < 2^51 (a < _PRIME ~ 2^31, B ~ 2^20), so a DuckDB list_transform
-    twin reproduces values bit-for-bit.  Docs with fewer than k tokens
-    yield an empty array.  Multiset semantics (repeats stay).
+    ``hash_fn`` picks the per-token hash tier:
+
+    * ``"portable"`` — md5-prefix (portable_hash64 mod _PRIME), exactly
+      DuckDB-reproducible: a list_transform twin reproduces values
+      bit-for-bit.  This is the ORACLE tier; it is also ~10x slower,
+      because higher-order lambdas are interpreted (no codegen) and the
+      interpreted Md5 path pays MessageDigest reflection + hex + conv
+      per call (jstack'd on the round-4 campaign: ~80% of the corpus
+      pipeline's 8-core CPU was this expression).
+    * ``"fast"`` — pmod(xxhash64, _PRIME): allocation-free in-JVM hash,
+      the PRODUCTION tier for 100 TB runs and benchmarks.  Same field,
+      same combiner, not oracle-reproducible (DuckDB has no xxhash64);
+      dedup SEMANTICS are hash-agnostic and pinned by the
+      portable-vs-fast cluster-equality test.
+
+    Docs with fewer than k tokens yield an empty array.  Multiset
+    semantics (repeats stay).
     """
     toks = F.split(text_col, " ")
-    th = F.transform(toks, lambda t: portable_hash64(t) % _PRIME)
+    if hash_fn == "fast":
+        th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_PRIME)))
+    elif hash_fn == "portable":
+        th = F.transform(toks, lambda t: portable_hash64(t) % _PRIME)
+    else:
+        raise ValueError(f"hash_fn must be 'portable' or 'fast', got {hash_fn!r}")
 
     # Bind th as a LAMBDA VARIABLE before slicing: higher-order functions
     # are interpreted (no whole-stage codegen, no common-subexpression
@@ -196,43 +212,57 @@ def minhash_signatures(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "portable",
 ) -> DataFrame:
-    """MinHash signatures via string-free shingle hashing + one thin
-    aggregate.
+    """MinHash signatures computed ENTIRELY array-side — zero explode,
+    zero aggregation, zero shuffle.
 
     (id, sig: array<bigint>[n_hashes]).  Shingle hashes come from
-    :func:`shingle_hash_array` (map-side, no window, no k-gram string
-    allocation — r4 change; r3 still concat'd every k-gram before
-    hashing), explode feeds the groupBy DIRECTLY: min is
-    duplicate-insensitive, so MinHash needs no distinct() — and with no
-    shuffle between scan and aggregate, partial aggregation collapses
-    every doc's shingles to one 16-min row map-side.  The only shuffle
-    is n_docs signature rows (~150 B each) instead of the
-    window+distinct+agg chain over every shingle occurrence row
-    (measured at 480k docs / 144M shingles: the LSH-pair stage fell
-    263s -> 80s at local[8]).  The n minima are n algebraic ``min``
-    aggregates — one shallow codegen expression per hash fn (the
-    pure-expression array formulation in textops.py::minhash_sig
-    duplicates the shingle subtree n_hashes times and chokes codegen at
-    width 16 — measured 226s vs 3s on 500 docs).  Docs with fewer than k
-    tokens have no shingles and are dropped (no signature is defined for
-    an empty set).  Signature VALUES differ from the r3 string-shingle
-    formulation (different shingle hash domain) — the DuckDB oracles
-    were updated in lockstep; dedup behavior (identical docs =>
-    identical sigs, banding collision stats) is pinned by tests.
+    :func:`shingle_hash_array` (map-side, no k-gram string allocation;
+    see its ``hash_fn`` tiers — "portable" md5 for oracle parity,
+    "fast" xxhash64 for production).  The n minima are computed per ROW:
+    the shingle array is bound ONCE as a lambda variable
+    (transform(array(sh), s -> ...)), then n interpreted min-passes run
+    over that bound VALUE — n_shingles * n_hashes cheap arithmetic ops
+    and nothing else.
+
+    This replaced the explode+groupBy formulation (r4 campaign finding):
+    pushing every shingle occurrence through Generate + hashAgg cost
+    50x the array-side form at 120k docs / 36M shingles, local[8]
+    (377s explode+agg vs 7.2s array-side, same JVM — the generated-row
+    volume, not the hash, was the bottleneck).  The OTHER array
+    formulation (textops.py::minhash_sig) re-inlines the shingle
+    SUBTREE n_hashes times — interpreted HOFs get no common-
+    subexpression elimination, so it recomputes the shingle hashes 16x
+    (measured 226s vs 3s on 500 docs); binding via transform(array(.))
+    is what makes the array-side form safe.
+
+    Per-doc work never leaves the scan task: at 100 TB this stage is
+    pure map throughput with NO shuffle at all (the old form shuffled
+    one signature row per doc).  Docs with fewer than k tokens have no
+    shingles and are dropped (no signature is defined for an empty
+    set).  Portable-tier signature VALUES are identical to the r4
+    explode formulation (same hash domain, same permutations) — the
+    DuckDB oracles needed no change.
     """
-    ex = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_hash_array(text_col, k)).alias("hv"),
+    sh = shingle_hash_array(text_col, k, hash_fn=hash_fn)
+    sig = F.element_at(
+        F.transform(
+            F.array(sh),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(s, lambda h: (h * (i * 2 + 1) + (i + 1) * 7919) % _PRIME)
+                ),
+            ),
+        ),
+        1,
     )
-    aggs = [
-        F.min((F.col("hv") * (2 * i + 1) + 7919 * (i + 1)) % _PRIME).alias(f"_h{i}")
-        for i in range(n_hashes)
-    ]
     return (
-        ex.groupBy("id")
-        .agg(*aggs)
-        .select("id", F.array(*[f"_h{i}" for i in range(n_hashes)]).alias("sig"))
+        docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        # empty shingle set -> array_min = null in slot 1: drop (matches
+        # the explode+groupBy semantics, where such docs emit no row)
+        .filter(F.element_at("sig", 1).isNotNull())
     )
 
 
@@ -274,6 +304,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = None,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """MinHash + LSH banding: candidate pairs whose signatures collide in
     at least one band, with the exact signature-agreement fraction.
@@ -296,7 +327,7 @@ def minhash_lsh_pairs(
     non-root members of oversized buckets is deliberately sacrificed;
     None (default) = exact all-pairs semantics.
     """
-    sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
+    sig = minhash_signatures(docs, n_hashes, k, id_col, text_col, hash_fn=hash_fn)
     banded = band_signatures(sig, n_hashes, bands)
 
     if max_bucket is None:
