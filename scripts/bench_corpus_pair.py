@@ -53,6 +53,22 @@ def ensure_data(n_docs: int) -> str:
     return path
 
 
+def io_probe_mbps() -> float:
+    """64 MiB buffered-write probe: the host goes through minute-scale
+    windows where guest page allocation stalls (measured 5-700 MB/s
+    bimodal on identical dd runs) — every Spark shuffle write rides that
+    path, so each leg records the regime it ran in.  Min-of-N across
+    legs is the noise defense; this annotates WHICH legs were degraded."""
+    buf = b"\0" * (1 << 20)
+    t0 = time.time()
+    with open("/tmp/.io_probe", "wb") as fh:
+        for _ in range(64):
+            fh.write(buf)
+    dt = time.time() - t0
+    os.unlink("/tmp/.io_probe")
+    return round(64 / dt, 1)
+
+
 def run_once(crawl_path: str, cores: int) -> dict:
     """One full clean_corpus pass; returns wall + stage metrics.
 
@@ -64,6 +80,7 @@ def run_once(crawl_path: str, cores: int) -> dict:
     from jobs.corpus import clean_corpus
     from yatsm_spark.session import get_spark
 
+    probe = io_probe_mbps()
     spark = get_spark(
         f"corpus_pair{cores}",
         master=f"local[{cores}]",
@@ -77,7 +94,12 @@ def run_once(crawl_path: str, cores: int) -> dict:
     wall = time.time() - t0
     cleaned.unpersist()
     spark.stop()
-    return {"cores": cores, "wall": round(wall, 2), **metrics}
+    return {
+        "cores": cores,
+        "wall": round(wall, 2),
+        "io_probe_mbps": probe,
+        **metrics,
+    }
 
 
 def summarize(out_path: str) -> None:
