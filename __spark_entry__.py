@@ -176,6 +176,43 @@ def _q_locf_1h(spark, sf):
     )
 
 
+def _q_interp_linear_1h(spark, sf):
+    """Linear-interpolation gap fill over the 1h tier — LOCF's companion
+    value policy: gap buckets get the floor-exact integer time-weighted
+    blend of their observed neighbors; edge gaps stay NULL."""
+    from yatsm_spark.operators.series import gap_fill_series, interpolate_series
+
+    tier = rollup_series(_t(spark, sf, "events"), "1h", ("user_id",), "ts", "value")
+    # rounded-sum-derived mean BEFORE the blend so engines agree bit-for-bit
+    tier = tier.withColumn("mean_val", _r(_r("sum_val") / F.col("cnt")))
+    filled = gap_fill_series(tier, "1h", ("user_id",))
+    return interpolate_series(filled, "mean_val", ("user_id",)).select(
+        "user_id", "bucket_ts", "gap_filled",
+        F.col("mean_val_interp_u").alias("interp_u"),
+    )
+
+
+def _q_m4_daily(spark, sf):
+    """M4 downsample per (user, day): the first/min/max/last POINTS (value
+    AND timestamp) — the VLDB-2014 error-free line-rendering reduction."""
+    from yatsm_spark.operators.series import m4_downsample
+
+    return m4_downsample(_t(spark, sf, "events"), "1d", ("user_id",), "ts", "value")
+
+
+def _q_docs_chunk_windows(spark, sf):
+    """Token-window document chunking (size 64, stride 48): overlapping
+    model-ready context windows, fully map-side; md5(chunk_text) keeps the
+    compare payload slim while still pinning every byte of every chunk."""
+    from yatsm_spark.functions.textops import chunk_documents
+
+    ch = chunk_documents(_t(spark, sf, "documents"), size=64, stride=48)
+    return ch.select(
+        "doc_id", "chunk_id", "start_tok", "chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def _q_ohlc_daily(spark, sf):
     """OHLC candlestick rollup per (user, day): open/close via struct
     min/max over (ts, value) — deterministic under duplicate timestamps."""
@@ -1055,7 +1092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # emb_semantic_dedup / counter_increase_1h / jsonl_ingest /
     # docs_nb_lang / docs_lm_score / docs_dsir_score) docs_lang_dist,
     # url_canonicalize, salted_event_stats, bcast_revenue_by_nation,
-    # topk_users, sessionize_30m.  See COVERAGE.md for the matrix.
+    # topk_users, sessionize_30m, and (making room for the three NEW ops
+    # interp_linear_1h / m4_daily / docs_chunk_windows) sliding_mean_24h,
+    # window_deltas, asof_prev_purchase.  See COVERAGE.md for the matrix.
     return {
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
@@ -1064,10 +1103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_merge_1h": _q_incr_merge_1h,
         "gap_fill_1h": _q_gap_fill_1h,
         "locf_1h": _q_locf_1h,
+        "interp_linear_1h": _q_interp_linear_1h,
+        "m4_daily": _q_m4_daily,
+        "docs_chunk_windows": _q_docs_chunk_windows,
         "ohlc_daily": _q_ohlc_daily,
-        "sliding_mean_24h": _q_sliding_24h,
-        "window_deltas": _q_window_deltas,
-        "asof_prev_purchase": _q_asof_prev_purchase,
         "asof_nearest_purchase": _q_asof_nearest,
         "docs_lm_score": _q_docs_lm_score,
         "docs_dsir_score": _q_docs_dsir_score,
@@ -1109,6 +1148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccdc_classify_synth": _classify_synth,
         # ---- below the driver's 50-query window (full-registry coverage
         # via scripts/check_oracle.py; all driver-green in r1-r3) ----
+        "sliding_mean_24h": _q_sliding_24h,
+        "window_deltas": _q_window_deltas,
+        "asof_prev_purchase": _q_asof_prev_purchase,
         "docs_lang_dist": _q_docs_lang_dist,
         "url_canonicalize": _q_url_canonicalize,
         "salted_event_stats": _q_salted_stats,
@@ -1229,6 +1271,68 @@ SELECT user_id, bucket_ts, gap_filled,
          PARTITION BY user_id ORDER BY bucket_ts
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_mean
 FROM joined
+"""
+
+_INTERP_1H = f"""
+WITH tier AS (
+  SELECT user_id, {_H} AS bucket_ts,
+         round((round(sum(value),4)+0)/count(*),4)+0 AS mean_val
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM tier GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts FROM span),
+j AS (
+  SELECT g.user_id, g.bucket_ts, (t.mean_val IS NULL) AS gap_filled,
+         CAST(round(t.mean_val*10000) AS BIGINT) AS vu,
+         CASE WHEN t.mean_val IS NOT NULL THEN epoch(g.bucket_ts) END AS ot
+  FROM grid g LEFT JOIN tier t ON g.user_id = t.user_id AND g.bucket_ts = t.bucket_ts),
+w AS (
+  SELECT user_id, bucket_ts, gap_filled, vu, epoch(bucket_ts) AS t,
+    last_value(vu IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(ot IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(vu IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(ot IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j)
+SELECT user_id, bucket_ts, gap_filled,
+  CASE WHEN vu IS NOT NULL THEN vu
+       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         -- floor-exact bigint blend: (num - floormod(num, den)) / den
+         CAST((pv*(nt-t)+nv*(t-pt)
+               - ((((pv*(nt-t)+nv*(t-pt)) % (nt-pt)) + (nt-pt)) % (nt-pt)))
+              / (nt-pt) AS BIGINT)
+       ELSE NULL END AS interp_u
+FROM w
+"""
+
+_M4_DAILY = f"""
+SELECT user_id, {_b("ts", 86400)} AS bucket_ts,
+  (min({{'t': ts, 'v': value}}))['t'] AS t_first,
+  round((min({{'t': ts, 'v': value}}))['v'], 4) + 0 AS v_first,
+  (min({{'v': value, 't': ts}}))['t'] AS t_min,
+  round((min({{'v': value, 't': ts}}))['v'], 4) + 0 AS v_min,
+  (max({{'v': value, 't': ts}}))['t'] AS t_max,
+  round((max({{'v': value, 't': ts}}))['v'], 4) + 0 AS v_max,
+  (max({{'t': ts, 'v': value}}))['t'] AS t_last,
+  round((max({{'t': ts, 'v': value}}))['v'], 4) + 0 AS v_last,
+  count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+_DOCS_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(len(toks) AS BIGINT), 48)) AS start FROM t)
+SELECT doc_id, start // 48 AS chunk_id, start AS start_tok,
+  CAST(len(toks[start+1 : start+64]) AS BIGINT) AS chunk_tokens,
+  md5(array_to_string(toks[start+1 : start+64], ' ')) AS chunk_md5
+FROM s
 """
 
 _OHLC_DAILY = f"""
@@ -2353,6 +2457,9 @@ def oracle_sql() -> dict[str, str]:
         "incr_merge_1h": _INCR_MERGE_1H,
         "gap_fill_1h": _GAP_FILL_1H,
         "locf_1h": _LOCF_1H,
+        "interp_linear_1h": _INTERP_1H,
+        "m4_daily": _M4_DAILY,
+        "docs_chunk_windows": _DOCS_CHUNKS,
         "percentile_daily": _PERCENTILE_DAILY,
         "ohlc_daily": _OHLC_DAILY,
         "sliding_mean_24h": _SLIDING_24H,

@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     # round-over-round signal lands in BENCH_r{N}, not only in the
     # BENCH/BASELINE.md campaign notes
     "corpus_clean_e2e",
+    "interp_linear_1h",
+    "m4_daily",
+    "docs_chunk_windows",
 ]
 
 

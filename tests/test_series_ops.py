@@ -221,3 +221,86 @@ def test_counter_increase_tiebreak_total_order(spark):
     assert len(out) == 1
     # order by (ts, event_id): 7.0 then 5.0 -> reset, contributes 5.0
     assert out[0]["increase_u"] == 5_000_000 and out[0]["n_resets"] == 1
+
+
+def test_interpolate_series_hand_values(spark):
+    # key "a": observed buckets at hours 0 (v=10.0) and 4 (v=30.0); gap-fill
+    # materializes hours 1..3; linear blend in x1e4 units:
+    #   hour h -> 100000 + (300000-100000)*h/4 = 100000 + 50000*h
+    from yatsm_spark.operators.series import interpolate_series
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 10), 10.0),
+        ("a", datetime(2024, 1, 1, 4, 30), 30.0),
+        ("b", datetime(2024, 1, 1, 9, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v double")
+    tier = rollup_series(df, "1h", ("url",), "warc_ts", "v")
+    filled = gap_fill_series(tier, "1h", ("url",))
+    out = interpolate_series(filled, "mean_val", ("url",)).collect()
+    got = {
+        (r["url"], r["bucket_ts"].hour): r["mean_val_interp_u"] for r in out
+    }
+    assert got[("a", 0)] == 100000
+    assert got[("a", 1)] == 150000
+    assert got[("a", 2)] == 200000
+    assert got[("a", 3)] == 250000
+    assert got[("a", 4)] == 300000
+    assert got[("b", 9)] == 70000
+    assert len(out) == 6
+
+
+def test_interpolate_floor_exact_uneven_gap(spark):
+    # 3-bucket gap between v=0 and v=1: exact thirds floor to 3333/6666 in
+    # x1e4 units — pins the pmod floor algebra (a double blend would give
+    # 3333.33.. and round differently per engine).
+    from yatsm_spark.operators.series import interpolate_series
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0), 0.0),
+        ("a", datetime(2024, 1, 1, 3, 0), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v double")
+    tier = rollup_series(df, "1h", ("url",), "warc_ts", "v")
+    filled = gap_fill_series(tier, "1h", ("url",))
+    out = interpolate_series(filled, "mean_val", ("url",)).collect()
+    got = {r["bucket_ts"].hour: r["mean_val_interp_u"] for r in out}
+    assert got == {0: 0, 1: 3333, 2: 6666, 3: 10000}
+
+
+def test_interpolate_edge_gaps_stay_null(spark):
+    # gap_fill only materializes INTERIOR buckets, so edge-gap NULLs can
+    # only come from null observed values at the series boundary.
+    from yatsm_spark.operators.series import interpolate_series
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0), None),
+        ("a", datetime(2024, 1, 1, 1, 0), 5.0),
+        ("a", datetime(2024, 1, 1, 2, 0), None),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v double")
+    tier = rollup_series(df, "1h", ("url",), "warc_ts", "v")
+    filled = gap_fill_series(tier, "1h", ("url",))
+    out = interpolate_series(filled, "mean_val", ("url",)).collect()
+    got = {r["bucket_ts"].hour: r["mean_val_interp_u"] for r in out}
+    assert got == {0: None, 1: 50000, 2: None}
+
+
+def test_m4_downsample_points_and_ties(spark):
+    from yatsm_spark.operators.series import m4_downsample
+
+    rows = [
+        # one daily bucket; min value 1.0 occurs TWICE (ties -> earliest ts)
+        ("a", datetime(2024, 1, 1, 1, 0), 5.0),
+        ("a", datetime(2024, 1, 1, 2, 0), 1.0),
+        ("a", datetime(2024, 1, 1, 3, 0), 9.0),
+        ("a", datetime(2024, 1, 1, 4, 0), 1.0),
+        ("a", datetime(2024, 1, 1, 5, 0), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v double")
+    [r] = m4_downsample(df, "1d", ("url",), "warc_ts", "v").collect()
+    assert (r["t_first"].hour, r["v_first"]) == (1, 5.0)
+    assert (r["t_min"].hour, r["v_min"]) == (2, 1.0)  # earliest of the two 1.0s
+    assert (r["t_max"].hour, r["v_max"]) == (3, 9.0)
+    assert (r["t_last"].hour, r["v_last"]) == (5, 4.0)
+    assert r["cnt"] == 5

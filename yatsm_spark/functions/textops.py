@@ -341,3 +341,51 @@ def pii_counts(text_col: str | Column = "text") -> list[Column]:
     after_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
     n_ips = F.regexp_count(after_email, F.lit(PII_IPV4_RE)).alias("n_ips")
     return [n_emails, n_ips]
+
+
+# ----------------------------------------------------------- doc chunking
+
+
+def chunk_documents(
+    df,
+    size: int = 256,
+    stride: int = 192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split each document's token sequence into overlapping fixed-size
+    chunks — the training-data prep step that turns cleaned documents
+    into model-ready context windows (stride < size gives the standard
+    overlapping windows; stride == size gives disjoint packing).
+
+    Chunk i covers tokens [i*stride, i*stride + size); starts are
+    generated while start < n_tokens, so the final chunk may be short
+    but every token lands in at least one chunk.  House tokenizer
+    (:func:`tokens`, single-space split) so the DuckDB twin is exact;
+    note split('') yields [''], so an empty text emits ONE empty chunk —
+    a row-preserving contract (no document silently vanishes; NULL text
+    is coalesced to '' for the same reason — posexplode of a NULL
+    sequence would silently drop the row).
+
+    Scale shape (100 TB): fully map-side — sequence() + posexplode +
+    slice are narrow; output rows ~ n_tokens/stride per doc, no shuffle,
+    no UDF.  requires size >= 1, stride >= 1 (asserted).
+
+    Reference analog: none — YATSM has no text surface [U]; this is the
+    training-pipeline chunking stage (task brief: token-window prep).
+    """
+    assert size >= 1 and stride >= 1, "size and stride must be >= 1"
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    exploded = df.select(
+        F.col(id_col), toks.alias("_toks"), F.posexplode(starts).alias("chunk_id", "_start")
+    )
+    chunk_toks = F.slice(F.col("_toks"), F.col("_start") + 1, size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("_start").cast("long").alias("start_tok"),
+        F.size(chunk_toks).cast("long").alias("chunk_tokens"),
+        F.array_join(chunk_toks, " ").alias("chunk_text"),
+    )

@@ -16,6 +16,10 @@ Operators (SURVEY.md §2.4):
   * :func:`top_k_keys`     — A9 heavy-hitter keys (TakeOrderedAndProject)
   * :func:`content_drift`  — K6 analog over TEXT: per-key simhash-lag
     Hamming change-points (content rewrites, not numeric drift)
+  * :func:`interpolate_series` — A4 linear interpolation across gaps
+    (floor-exact integer blend; LOCF's companion policy)
+  * :func:`m4_downsample`  — M4 first/min/max/last POINTS per bucket
+    (Jugel et al. VLDB 2014 error-free rendering downsample)
 
 Scale notes (100 TB design):
   * Every operator here is a single shuffle on its key (hash agg or window);
@@ -509,3 +513,134 @@ def counter_increase(
             F.sum("_reset").cast("bigint").alias("n_resets"),
         )
     )
+
+
+def interpolate_series(
+    filled: DataFrame,
+    value_col: str = "mean_val",
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "bucket_ts",
+    scale: int = 10_000,
+) -> DataFrame:
+    """A4: LINEAR interpolation across gap-filled buckets — the
+    ``interpolate()`` companion to :func:`locf_series` (the two standard
+    gap-fill value policies of every continuous-aggregate engine).
+
+    Consumes the output of :func:`gap_fill_series` (gap rows carry NULL in
+    ``value_col``).  For each gap row with an observed neighbor on BOTH
+    sides, emits the time-weighted linear blend; edge gaps (before the
+    first / after the last observation) stay NULL — a gap there has no
+    defined slope.  Observed rows pass through unchanged.
+
+    Exactness: values are scaled to integer 1/``scale`` units up front and
+    the blend is computed as a floor-exact bigint rational —
+
+        interp_u = floor((prev_u*(t1-t) + next_u*(t-t0)) / (t1-t0))
+
+    via the pmod identity ``(num - pmod(num, den)) / den`` so the result
+    is engine-, partitioning-, and cluster-size-exact (a double blend
+    would round differently per reduction order and never hash-match an
+    oracle).  Magnitude bound: |num| <= scale*|v|_max * gap_seconds; at
+    scale 1e4, |v| <= 1e6 and 30-day gaps that is ~2.6e16 << 2^63.
+
+    Scale shape (100 TB): ONE exchange+sort on the key feeds two Window
+    nodes sharing the sort (backward last(ignorenulls) + forward
+    first(ignorenulls) frames); zero joins, zero extra shuffles.  On the
+    key-bucketed presorted layout the exchange vanishes.
+
+    Reference analog: none in YATSM (it fits models through irregular
+    samples rather than regularizing the grid) [U]; this is north_star
+    "gap-fill missing crawl intervals" surface (BASELINE.json:6).
+    """
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.unix_timestamp(F.col(ts_col))
+    vu = F.round(F.col(value_col) * scale).cast("long")
+    obs_t = F.when(vu.isNotNull(), t)
+    df = (
+        filled.withColumn("_vu", vu)
+        .withColumn("_pv", F.last("_vu", ignorenulls=True).over(wb))
+        .withColumn("_pt", F.last(obs_t, ignorenulls=True).over(wb))
+        .withColumn("_nv", F.first("_vu", ignorenulls=True).over(wf))
+        .withColumn("_nt", F.first(obs_t, ignorenulls=True).over(wf))
+    )
+    num = F.col("_pv") * (F.col("_nt") - t) + F.col("_nv") * (t - F.col("_pt"))
+    den = F.col("_nt") - F.col("_pt")
+    blend = ((num - F.pmod(num, den)) / den).cast("long")
+    interp = (
+        F.when(F.col("_vu").isNotNull(), F.col("_vu"))
+        .when(F.col("_pv").isNotNull() & F.col("_nv").isNotNull(), blend)
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return df.withColumn(f"{value_col}_interp_u", interp).drop(
+        "_vu", "_pv", "_pt", "_nv", "_nt"
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    tier: str,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "warc_ts",
+    value_col: str = "text_len",
+) -> DataFrame:
+    """A1/A12: M4 visualization downsampling (Jugel et al., VLDB 2014) —
+    per (key, tumbling bucket) the four extremum POINTS (value *and* its
+    timestamp): first, min, max, last.  M4 is the published
+    error-free-rendering downsample: those 4 points per pixel-column
+    bucket reproduce a line chart exactly at the target resolution, so a
+    10^12-point series ships to a dashboard as 4*width points.
+
+    Distinct from the OHLC rollup: OHLC keeps only the VALUES; M4 keeps
+    each extremum's timestamp, which is what a renderer needs.
+
+    Deterministic tie policy (documented, engine-exact): ties on value
+    take the EARLIEST timestamp for the min point and the LATEST for the
+    max point (struct-ordering min/max); ties on timestamp take the
+    smallest value for first, largest for last.
+
+    Scale shape (100 TB): a single partial-aggregable hash aggregate —
+    struct-min/max are algebraic, so map-side combine collapses each
+    partition's bucket to 4 points before the ONE exchange; no window,
+    no sort.
+
+    Reference analog: YATSM's rasterized map outputs downsample by
+    aggregation too, but have no timeseries-rendering path [U]; this is
+    north_star downsample surface (BASELINE.json:14).
+    """
+    v = F.col(value_col).cast("double")
+    ts = F.col(ts_col)
+    out = (
+        df.groupBy(
+            *[F.col(k) for k in key_cols], bucket_col(ts_col, tier).alias("bucket_ts")
+        )
+        .agg(
+            F.min(F.struct(ts.alias("t"), v.alias("v"))).alias("_f"),
+            F.min(F.struct(v.alias("v"), ts.alias("t"))).alias("_mn"),
+            F.max(F.struct(v.alias("v"), ts.alias("t"))).alias("_mx"),
+            F.max(F.struct(ts.alias("t"), v.alias("v"))).alias("_l"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            *key_cols,
+            "bucket_ts",
+            F.col("_f.t").alias("t_first"),
+            (F.round(F.col("_f.v"), 4) + F.lit(0.0)).alias("v_first"),
+            F.col("_mn.t").alias("t_min"),
+            (F.round(F.col("_mn.v"), 4) + F.lit(0.0)).alias("v_min"),
+            F.col("_mx.t").alias("t_max"),
+            (F.round(F.col("_mx.v"), 4) + F.lit(0.0)).alias("v_max"),
+            F.col("_l.t").alias("t_last"),
+            (F.round(F.col("_l.v"), 4) + F.lit(0.0)).alias("v_last"),
+            "cnt",
+        )
+    )
+    return out
