@@ -213,6 +213,20 @@ def _q_docs_chunk_windows(spark, sf):
     )
 
 
+def _q_docs_c4_filter(spark, sf):
+    """C4-style line-level cleaning (Raffel et al. 2020): per-line terminal
+    punctuation / min-words / no-javascript survival, page-level lorem-ipsum
+    + curly-brace + min-lines verdict; md5 pins the cleaned text bytes."""
+    from yatsm_spark.functions.textops import c4_line_stats
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", *c4_line_stats("text")
+    ).select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"),
+        "n_lines", "n_lines_kept", "c4_keep",
+    )
+
+
 def _q_ohlc_daily(spark, sf):
     """OHLC candlestick rollup per (user, day): open/close via struct
     min/max over (ts, value) — deterministic under duplicate timestamps."""
@@ -1093,8 +1107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # docs_nb_lang / docs_lm_score / docs_dsir_score) docs_lang_dist,
     # url_canonicalize, salted_event_stats, bcast_revenue_by_nation,
     # topk_users, sessionize_30m, and (making room for the three NEW ops
-    # interp_linear_1h / m4_daily / docs_chunk_windows) sliding_mean_24h,
-    # window_deltas, asof_prev_purchase.  See COVERAGE.md for the matrix.
+    # interp_linear_1h / m4_daily / docs_chunk_windows / docs_c4_filter)
+    # sliding_mean_24h, window_deltas, asof_prev_purchase,
+    # asof_nearest_purchase.  See COVERAGE.md for the matrix.
     return {
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
@@ -1106,8 +1121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_linear_1h": _q_interp_linear_1h,
         "m4_daily": _q_m4_daily,
         "docs_chunk_windows": _q_docs_chunk_windows,
+        "docs_c4_filter": _q_docs_c4_filter,
         "ohlc_daily": _q_ohlc_daily,
-        "asof_nearest_purchase": _q_asof_nearest,
         "docs_lm_score": _q_docs_lm_score,
         "docs_dsir_score": _q_docs_dsir_score,
         "docs_nb_lang": _q_docs_nb_lang,
@@ -1148,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccdc_classify_synth": _classify_synth,
         # ---- below the driver's 50-query window (full-registry coverage
         # via scripts/check_oracle.py; all driver-green in r1-r3) ----
+        "asof_nearest_purchase": _q_asof_nearest,
         "sliding_mean_24h": _q_sliding_24h,
         "window_deltas": _q_window_deltas,
         "asof_prev_purchase": _q_asof_prev_purchase,
@@ -1333,6 +1349,26 @@ SELECT doc_id, start // 48 AS chunk_id, start AS start_tok,
   CAST(len(toks[start+1 : start+64]) AS BIGINT) AS chunk_tokens,
   md5(array_to_string(toks[start+1 : start+64], ' ')) AS chunk_md5
 FROM s
+"""
+
+_DOCS_C4 = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+l AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS lines FROM t),
+k AS (SELECT doc_id, txt, lines,
+        list_filter(lines, ln ->
+          right(trim(ln), 1) IN ('.', '!', '?', '"')
+          AND len(string_split(ln, ' ')) >= 5
+          AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM l)
+SELECT doc_id,
+  -- DuckDB array_to_string on an EMPTY list is NULL (string_agg
+  -- semantics); Spark array_join gives '' — coalesce to match
+  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+  (len(kept) >= 3 AND NOT contains(lower(txt), 'lorem ipsum')
+   AND NOT contains(lower(txt), '{')) AS c4_keep
+FROM k
 """
 
 _OHLC_DAILY = f"""
@@ -2460,6 +2496,7 @@ def oracle_sql() -> dict[str, str]:
         "interp_linear_1h": _INTERP_1H,
         "m4_daily": _M4_DAILY,
         "docs_chunk_windows": _DOCS_CHUNKS,
+        "docs_c4_filter": _DOCS_C4,
         "percentile_daily": _PERCENTILE_DAILY,
         "ohlc_daily": _OHLC_DAILY,
         "sliding_mean_24h": _SLIDING_24H,

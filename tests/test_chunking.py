@@ -58,3 +58,43 @@ def test_chunk_invalid_params(spark):
         chunk_documents(None, size=0, stride=1)
     with pytest.raises(AssertionError):
         chunk_documents(None, size=4, stride=0)
+
+
+def test_c4_line_filter_hand_values(spark):
+    from yatsm_spark.functions.textops import c4_line_stats
+
+    doc = "\n".join([
+        "This line has enough words and ends well.",   # keep
+        "Too short.",                                   # < 5 words
+        "This line mentions JavaScript so it is dropped.",  # javascript
+        "No terminal punctuation on this line here",    # bad ending
+        'A quoted ending line with many words indeed."', # keep (quote)
+        "Another perfectly fine sentence goes right here!",  # keep
+    ])
+    rows = [(1, doc), (2, "short page."), (3, "Uses a { brace. " * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select("doc_id", *c4_line_stats("text")).collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 6 and r1["n_lines_kept"] == 3
+    assert r1["c4_keep"] is True
+    assert r1["clean_text"].splitlines() == [
+        "This line has enough words and ends well.",
+        'A quoted ending line with many words indeed."',
+        "Another perfectly fine sentence goes right here!",
+    ]
+    # page 2: single short line -> 0 kept, below min_lines
+    assert out[2]["n_lines_kept"] == 0 and out[2]["c4_keep"] is False
+    # page 3: lines keepable but curly brace kills the PAGE
+    assert out[3]["c4_keep"] is False
+
+
+def test_c4_lorem_ipsum_page_kill(spark):
+    from yatsm_spark.functions.textops import c4_line_stats
+
+    good = "A good line with plenty of words here."
+    doc = "\n".join([good, good, good, "but Lorem Ipsum appears in this long line."])
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    [r] = df.select("doc_id", *c4_line_stats("text")).collect()
+    assert r["n_lines_kept"] == 4          # lines themselves survive
+    assert r["c4_keep"] is False           # page-level lorem-ipsum kill

@@ -389,3 +389,58 @@ def chunk_documents(
         F.size(chunk_toks).cast("long").alias("chunk_tokens"),
         F.array_join(chunk_toks, " ").alias("chunk_text"),
     )
+
+
+# ------------------------------------------------------- C4 line cleaning
+
+
+def c4_line_stats(
+    text_col: str | Column = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> list[Column]:
+    """C4-style line-level cleaning signals (Raffel et al. 2020, the C4
+    corpus recipe): a line SURVIVES iff it ends in a terminal punctuation
+    mark ('.', '!', '?', '"'), has >= ``min_words_per_line`` whitespace
+    words, and does not mention 'javascript' (case-insensitive); the PAGE
+    survives iff >= ``min_lines`` lines survive and the page contains
+    neither 'lorem ipsum' nor a curly brace.
+
+    Columns returned: ``clean_text`` (surviving lines re-joined with \\n),
+    ``n_lines`` / ``n_lines_kept``, and ``c4_keep`` (the page verdict).
+
+    Everything is suffix / substring / split algebra — NO regex — so
+    Spark and any SQL oracle agree byte-for-byte with no RE2-vs-Java
+    dialect risk; pure map-side codegen, zero shuffle (same profile as
+    the other textops quality signals).
+
+    Reference analog: none — YATSM has no text surface [U]; this is the
+    published C4 cleaning stage of a web-corpus training pipeline.
+    """
+    c = F.coalesce(
+        text_col if isinstance(text_col, Column) else F.col(text_col), F.lit("")
+    )
+    lines = F.split(c, "\n")
+
+    def _line_ok(ln: Column) -> Column:
+        t = F.trim(ln)
+        last = F.substring(t, -1, 1)
+        return (
+            last.isin(".", "!", "?", '"')
+            & (F.size(F.split(ln, " ")) >= min_words_per_line)
+            & ~F.contains(F.lower(ln), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _line_ok)
+    lowered = F.lower(c)
+    page_ok = (
+        (F.size(kept) >= min_lines)
+        & ~F.contains(lowered, F.lit("lorem ipsum"))
+        & ~F.contains(lowered, F.lit("{"))
+    )
+    return [
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        page_ok.alias("c4_keep"),
+    ]
