@@ -135,15 +135,20 @@ def clean_corpus(
     # lsh_max_bucket: hot-bucket star-edge guard (operators/dedup.py) —
     # arm in production (boilerplate-heavy crawls form giant mutual-near-
     # dup buckets whose all-pairs join is quadratic); None = exact pairs
-    pairs = minhash_lsh_pairs(
+    raw_pairs = minhash_lsh_pairs(
         uniq,
         n_hashes=minhash_hashes,
         bands=minhash_bands,
         k=3,
         max_bucket=lsh_max_bucket,
         hash_fn=minhash_hash_fn,
-    ).filter(F.col("sig_sim") >= neardup_threshold)
+    )
+    pairs = raw_pairs.filter(F.col("sig_sim") >= neardup_threshold)
     clusters = neardup_clusters(pairs)
+    # connected_components is EAGER (its rounds run inside the call), so
+    # the pairs — and the banded-signature blocks they carry — are fully
+    # consumed by here; free them before the next stage
+    release_components(raw_pairs)
     losers = clusters.filter(~F.col("is_keeper")).select("doc_id")
     deduped = uniq.join(losers, "doc_id", "left_anti").persist()
     m["neardup_dedup"] = deduped.count()

@@ -258,12 +258,24 @@ def minhash_signatures(
         ),
         1,
     )
-    return (
-        docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
-        # empty shingle set -> array_min = null in slot 1: drop (matches
-        # the explode+groupBy semantics, where such docs emit no row)
-        .filter(F.element_at("sig", 1).isNotNull())
+    # empty shingle set -> array_min = null in slot 1: drop (matches the
+    # explode+groupBy semantics, where such docs emit no row).  The drop is
+    # an explode-of-singleton with the guard INSIDE the bound lambda, not a
+    # .filter(): a filter on the computed column gets pushed below the
+    # projection and re-evaluates the whole interpreted minhash a second
+    # time per row (no CSE for HOFs); Generate also leaves `sig` as a
+    # concrete attribute, so downstream projections can never re-inline
+    # the expression.
+    keep = F.element_at(
+        F.transform(
+            F.array(sig),
+            lambda s: F.when(
+                F.element_at(s, 1).isNotNull(), F.array(s)
+            ).otherwise(F.array().cast("array<array<bigint>>")),
+        ),
+        1,
     )
+    return docs.select(F.col(id_col).alias("id"), F.explode(keep).alias("sig"))
 
 
 def band_signatures(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
@@ -271,29 +283,46 @@ def band_signatures(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     shared banding step of :func:`minhash_lsh_pairs` and the incremental
     delta-vs-catalog matcher (jobs/corpus.py).  bkey is the comma-joined
     signature slice for the band: a pure function of sig, so catalogs
-    need only store signatures."""
+    need only store signatures.
+
+    The sig column is BOUND as a lambda variable (transform(array(sig),
+    s -> ...)) before any band references it.  When sig is a freshly
+    COMPUTED expression (minhash_lsh_pairs feeds the array-side minhash
+    projection straight in), CollapseProject inlines that expression into
+    every reference — 16 element_at + the passthrough = 17 evaluations of
+    the full interpreted minhash per row (HOFs get no codegen and no CSE;
+    measured: one banded pass cost 183 s vs 34 s for the signatures alone
+    at 120k docs local[8] — the r3 explode+groupBy form had hidden this
+    because an aggregation is a collapse barrier).  Binding makes it ONE
+    evaluation; for catalog-stored sig columns the binding is free.
+    """
     rows_per_band = n_hashes // bands
-    return sig.select(
+
+    def _bands(s: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    s.alias("sig"),
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(s, bi * rows_per_band + j + 1)
+                            for j in range(rows_per_band)
+                        ],
+                    ).alias("bkey"),
+                )
+                for bi in range(bands)
+            ]
+        )
+
+    bs = F.element_at(F.transform(F.array(F.col("sig")), _bands), 1)
+    return sig.select("id", F.explode(bs).alias("bs")).select(
         "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", bi * rows_per_band + j + 1)
-                                for j in range(rows_per_band)
-                            ],
-                        ).alias("bkey"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "sig", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+        F.col("bs.sig").alias("sig"),
+        F.col("bs.band").alias("band"),
+        F.col("bs.bkey").alias("bkey"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -327,8 +356,25 @@ def minhash_lsh_pairs(
     non-root members of oversized buckets is deliberately sacrificed;
     None (default) = exact all-pairs semantics.
     """
+    from yatsm_spark.operators.graph import materialize_once
+
     sig = minhash_signatures(docs, n_hashes, k, id_col, text_col, hash_fn=hash_fn)
-    banded = band_signatures(sig, n_hashes, bands)
+    # ONE shuffle on the join/agg key, then materialize.  The r4 array-side
+    # signature rewrite removed the explode+groupBy shuffle that had been
+    # acting as an implicit materialization point — without one, the banded
+    # frame's consumers (bucket stats, small semi-join, small self-join x2,
+    # big/root joins) each recompute the FULL signature lineage from the
+    # scan: 8 separate Generate stacks in the executed plan, 335 s of a
+    # 423 s pipeline at 120k docs local[8] (signatures alone are ~34 s).
+    # ReuseExchange can NOT collapse them: per-consumer column pruning makes
+    # the subtrees canonically different (one prunes id, others keep it), so
+    # an explicit eager materialization is required, not just a repartition
+    # (measured: repartition alone still 400 s; checkpointed ~60 s).  The
+    # blocks are the same n_docs*bands slim rows the r3 form shuffled; the
+    # returned pairs frame carries the handle for release_components().
+    banded = materialize_once(
+        band_signatures(sig, n_hashes, bands).repartition("band", "bkey")
+    )
 
     if max_bucket is None:
         a, b = banded.alias("a"), banded.alias("b")
@@ -394,9 +440,15 @@ def minhash_lsh_pairs(
     # score BEFORE the pair-dedup: sig_sim is identical on every duplicate
     # of a pair (same signatures), so the dropDuplicates exchange moves
     # (id, id, double) instead of two 16-element bigint arrays per row
-    return cand.select(
+    out = cand.select(
         "id_a", "id_b", F.round(agree / F.lit(n_hashes), 4).alias("sig_sim")
     ).dropDuplicates(["id_a", "id_b"])
+    # carry the banded materialization handle so callers can free the
+    # blocks (graph.release_components) once the pairs are consumed; note
+    # DataFrame transformations do NOT propagate the attr — release via
+    # the frame this function returned
+    out._yatsm_ckpt_ids = getattr(banded, "_yatsm_ckpt_ids", set())  # type: ignore[attr-defined]
+    return out
 
 
 def simhash_docs(

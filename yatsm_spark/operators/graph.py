@@ -95,6 +95,16 @@ def _release(*dfs: DataFrame) -> None:
         df._yatsm_ckpt_ids = set()  # type: ignore[attr-defined]
 
 
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Public face of :func:`_checkpoint`: eagerly materialize a frame that
+    has MULTIPLE downstream consumers whose differing column pruning defeats
+    ReuseExchange (each consumer would otherwise recompute the full lineage
+    — measured 8 recomputes of the MinHash banding inside one LSH plan).
+    The returned frame carries its block-set handle; free it with
+    :func:`release_components` once every consumer has materialized."""
+    return _checkpoint(df)
+
+
 def release_components(df: DataFrame) -> None:
     """Free the one checkpoint block set held by a
     :func:`connected_components` / :func:`neardup_clusters` result.
