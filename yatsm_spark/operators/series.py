@@ -557,10 +557,17 @@ def interpolate_series(
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # forward neighbor via the REVERSED running frame, NOT
+    # first(...) over (currentRow, unboundedFollowing): Spark evaluates an
+    # unbounded-FOLLOWING frame by rescanning from each row to the
+    # partition end — O(n^2) per key (measured 7.1 s vs 1.0 s for the
+    # LOCF twin at sf0.1).  last(ignorenulls) over the desc-ordered
+    # running frame is the same value in O(n) with one extra sort on the
+    # already-exchanged partition.
     wf = (
         Window.partitionBy(*key_cols)
-        .orderBy(ts_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     t = F.unix_timestamp(F.col(ts_col))
     vu = F.round(F.col(value_col) * scale).cast("long")
@@ -569,8 +576,8 @@ def interpolate_series(
         filled.withColumn("_vu", vu)
         .withColumn("_pv", F.last("_vu", ignorenulls=True).over(wb))
         .withColumn("_pt", F.last(obs_t, ignorenulls=True).over(wb))
-        .withColumn("_nv", F.first("_vu", ignorenulls=True).over(wf))
-        .withColumn("_nt", F.first(obs_t, ignorenulls=True).over(wf))
+        .withColumn("_nv", F.last("_vu", ignorenulls=True).over(wf))
+        .withColumn("_nt", F.last(obs_t, ignorenulls=True).over(wf))
     )
     num = F.col("_pv") * (F.col("_nt") - t) + F.col("_nv") * (t - F.col("_pt"))
     den = F.col("_nt") - F.col("_pt")
