@@ -1089,6 +1089,51 @@ def _q_corpus_clean_e2e(spark, sf):
     )
 
 
+def _q_hist_p95_1d(spark, sf):
+    """Mergeable histogram-sketch percentile tier: 1h sketches cascade to
+    1d and answer p50/p95 WITHOUT re-reading raw data — the oracle
+    re-derives the same bucket algebra from RAW events, so a green row
+    proves the sketch merge exact end to end."""
+    from yatsm_spark.operators.sketch import hist_cascade, hist_percentile, hist_sketch
+
+    sk1h = hist_sketch(_t(spark, sf, "events"))
+    return hist_percentile(hist_cascade(sk1h, "1d"))
+
+
+def _q_anomaly_zscore(spark, sf):
+    """Rolling z-score anomaly flags (trailing 24 obs, k=3, min 8 obs) —
+    cross-multiplied decimal comparison, no floating division anywhere."""
+    from yatsm_spark.operators.series import anomaly_zscore
+
+    return anomaly_zscore(_t(spark, sf, "events"), order_tiebreak="event_id")
+
+
+def _q_ewma_events(spark, sf):
+    """Dyadic-alpha (1/4) integer EWMA per user series — the recursive
+    smoother as a stepped-matrix vectorized kernel; the DuckDB twin
+    replays the identical int64 recursion in a recursive CTE."""
+    from yatsm_spark.operators.series import ewma_series
+
+    return ewma_series(_t(spark, sf, "events"), order_tiebreak="event_id")
+
+
+def _q_docs_paragraph_dedup(spark, sf):
+    """Paragraph-level boilerplate dedup (RefinedWeb/Dolma stage): lines
+    repeated across >1 docs drop everywhere, text reassembled in order.
+    Line structure is derived deterministically (' table ' -> newline) so
+    the word-soup corpus gains real cross-doc duplicate lines; md5 keeps
+    the reassembled-text compare slim (chunk_md5 precedent)."""
+    from yatsm_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(" table\n"))
+    )
+    out = paragraph_dedup(docs)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_paras", "n_dropped"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (round 4): the driver's CORRECTNESS gate checks only the
     # FIRST 50 entries, so the registry is ordered to rotate coverage.
@@ -1187,6 +1232,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_neardup": _q_emb_neardup,
         "docs_hash_split": _q_docs_hash_split,
         "percentile_daily": _q_percentile_daily,
+        # ---- NEW round-4 (post-rotation; local-mimic this round,
+        # rotation candidates for round 5) ----
+        "hist_p95_1d": _q_hist_p95_1d,
+        "anomaly_zscore_24": _q_anomaly_zscore,
+        "ewma_events": _q_ewma_events,
+        "docs_paragraph_dedup": _q_docs_paragraph_dedup,
     }
 
 
@@ -2480,6 +2531,108 @@ SELECT doc_id,
 FROM kept
 """
 
+# hist_p95_1d: re-derive the sketch percentile algebra from RAW events —
+# a green row proves the 1h->1d sketch MERGE exact (the oracle never
+# builds the intermediate tier).  hb = value_u // width (nonneg values);
+# target rank = ceil(total*q/100); percentile = lower edge of the first
+# bucket whose running count reaches it.
+_HIST_P95_1D = f"""
+WITH hbs AS (
+  SELECT user_id, {_b("ts", 86400)} AS bucket_ts,
+         CAST(floor(value * 1000000) AS BIGINT) // 10000000 AS hb,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3),
+tot AS (SELECT user_id, bucket_ts, sum(c)::BIGINT AS total FROM hbs GROUP BY 1, 2),
+cum AS (
+  SELECT user_id, bucket_ts, hb,
+         sum(c) OVER (PARTITION BY user_id, bucket_ts ORDER BY hb) AS cum
+  FROM hbs),
+p50 AS (
+  SELECT c.user_id, c.bucket_ts, min(c.hb) AS hb
+  FROM cum c JOIN tot t USING (user_id, bucket_ts)
+  WHERE c.cum >= (t.total * 50 + 99) // 100 GROUP BY 1, 2),
+p95 AS (
+  SELECT c.user_id, c.bucket_ts, min(c.hb) AS hb
+  FROM cum c JOIN tot t USING (user_id, bucket_ts)
+  WHERE c.cum >= (t.total * 95 + 99) // 100 GROUP BY 1, 2)
+SELECT t.user_id, t.bucket_ts, t.total,
+       p50.hb * 10000000 AS p50_u, p95.hb * 10000000 AS p95_u
+FROM tot t
+JOIN p50 USING (user_id, bucket_ts) JOIN p95 USING (user_id, bucket_ts)
+"""
+
+# anomaly_zscore_24: identical cross-multiplied integer comparison; the
+# trailing sums run in HUGEINT (the Spark side uses decimal(38,0)).
+_ANOMALY_Z24 = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_u
+  FROM events),
+w AS (
+  SELECT user_id, ts, event_id, value_u,
+         count(value_u) OVER win AS n_win,
+         sum(CAST(value_u AS HUGEINT)) OVER win AS s,
+         sum(CAST(value_u AS HUGEINT) * CAST(value_u AS HUGEINT)) OVER win AS ssq
+  FROM v
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT user_id, ts, event_id, value_u, n_win::BIGINT AS n_win,
+       CASE WHEN n_win >= 8
+              AND (value_u * n_win - s) * (value_u * n_win - s)
+                  > 9 * (n_win * ssq - s * s)
+            THEN 1 ELSE 0 END AS is_anom
+FROM w
+"""
+
+# ewma_events: the IDENTICAL int64 recursion replayed per key in a
+# recursive CTE (each iteration advances every key one observation);
+# floor-div via nonneg-remainder subtraction so the exactly-divisible
+# quotient is truncation-safe.
+_EWMA_EVENTS = """
+WITH RECURSIVE obs AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_u,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, ts, event_id, value_u, rn, value_u AS ewma_u
+  FROM obs WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.ts, o.event_id, o.value_u, o.rn,
+         r.ewma_u + ((o.value_u - r.ewma_u)
+                     - (((o.value_u - r.ewma_u) % 4 + 4) % 4)) // 4
+  FROM rec r JOIN obs o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+SELECT user_id, ts, event_id, value_u, ewma_u FROM rec
+"""
+
+# docs_paragraph_dedup: the oracle groups raw paragraph STRINGS (the
+# Spark side shuffles 64-bit hashes — semantics are on content).
+_DOCS_PARA_DEDUP = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(replace(coalesce(text, ''), ' table ',
+                              ' table' || chr(10)), chr(10)) AS ls
+  FROM documents),
+paras AS (
+  SELECT doc_id, unnest(ls) AS ln, generate_subscripts(ls, 1) AS pos
+  FROM base),
+hot AS (
+  SELECT ln FROM (SELECT ln, count(DISTINCT doc_id) AS nd FROM paras GROUP BY ln)
+  WHERE nd > 1),
+drops AS (SELECT p.doc_id, p.pos FROM paras p JOIN hot USING (ln)),
+kept AS (
+  SELECT p.doc_id, p.pos, p.ln
+  FROM paras p LEFT JOIN drops d ON d.doc_id = p.doc_id AND d.pos = p.pos
+  WHERE d.doc_id IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS ct, count(*) AS c
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id, md5(coalesce(a.ct, '')) AS clean_md5,
+       len(b.ls)::BIGINT AS n_paras,
+       (len(b.ls) - coalesce(a.c, 0))::BIGINT AS n_dropped
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -2555,6 +2708,10 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _NEARDUP_CLUSTERS,
         "corpus_clean_e2e": _CORPUS_E2E,
         "docs_dup_span_cut": _DUP_SPAN_CUT,
+        "hist_p95_1d": _HIST_P95_1D,
+        "anomaly_zscore_24": _ANOMALY_Z24,
+        "ewma_events": _EWMA_EVENTS,
+        "docs_paragraph_dedup": _DOCS_PARA_DEDUP,
         "docs_pii_redact": _DOCS_PII,
         "docs_repetition": _DOCS_REPETITION,
         "docs_decontam": _DOCS_DECONTAM,

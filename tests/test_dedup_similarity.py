@@ -590,3 +590,42 @@ def test_semantic_dedup_clustered_invariants(spark):
         if cur is None or r["vec_id"] < cur["vec_id"]:
             by_cell_min[r["cell"]] = r
     assert all(r["kept"] == 1 for r in by_cell_min.values())
+
+
+def test_paragraph_dedup_hand_values(spark):
+    from yatsm_spark.operators.dedup import paragraph_dedup
+
+    boiler = "accept our cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nalpha beta\ngamma"),
+            (2, f"{boiler}\ndelta"),
+            (3, f"unique one\n{boiler}\nunique two\n{boiler}"),
+            (4, None),  # null text -> one empty paragraph, survives
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    # the boilerplate line appears in 3 docs (> max_docs=1) -> every
+    # occurrence drops, including BOTH inside doc 3; order preserved
+    assert out[1]["clean_text"] == "alpha beta\ngamma"
+    assert out[2]["clean_text"] == "delta"
+    assert out[3]["clean_text"] == "unique one\nunique two"
+    assert out[3]["n_dropped"] == 2 and out[3]["n_paras"] == 4
+    # '' occurs in 2 docs (4 and 5) -> also boilerplate under max_docs=1
+    assert out[4]["clean_text"] == "" and out[4]["n_dropped"] == 1
+    assert out[5]["n_dropped"] == 1
+
+
+def test_paragraph_dedup_max_docs_threshold(spark):
+    from yatsm_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "shared\nown1"), (2, "shared\nown2")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, max_docs=2).collect()}
+    # 'shared' is in exactly 2 docs, max_docs=2 -> kept everywhere
+    assert out[1]["clean_text"] == "shared\nown1"
+    assert out[1]["n_dropped"] == 0

@@ -304,3 +304,75 @@ def test_m4_downsample_points_and_ties(spark):
     assert (r["t_max"].hour, r["v_max"]) == (3, 9.0)
     assert (r["t_last"].hour, r["v_last"]) == (5, 4.0)
     assert r["cnt"] == 5
+
+
+def test_anomaly_zscore_hand_values(spark):
+    from datetime import datetime, timedelta
+
+    from yatsm_spark.operators.series import anomaly_zscore
+
+    t0 = datetime(2024, 1, 1)
+    # 8 flat obs (value 10) then a spike: baseline var 0 -> any deviation
+    # flags; the 10th obs equals the baseline mean -> no flag
+    rows = [(1, t0 + timedelta(hours=i), 10.0) for i in range(8)]
+    rows += [(1, t0 + timedelta(hours=8), 50.0), (1, t0 + timedelta(hours=9), 10.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        r["ts"]: r for r in anomaly_zscore(df, window=8, min_obs=8, k=3).collect()
+    }
+    assert out[t0 + timedelta(hours=8)]["is_anom"] == 1  # zero-var spike
+    assert out[t0 + timedelta(hours=7)]["is_anom"] == 0  # short baseline
+    # 10th: baseline holds the spike -> mean 15, sd ~ 14.1; |10-15| << 3sd
+    assert out[t0 + timedelta(hours=9)]["is_anom"] == 0
+    assert out[t0]["n_win"] == 0
+
+
+def test_ewma_dyadic_recursion_exact(spark):
+    from datetime import datetime, timedelta
+
+    from yatsm_spark.operators.series import ewma_series
+
+    t0 = datetime(2024, 1, 1)
+    vals = [100.0, 0.0, 40.0, 40.0, 1.0]
+    rows = [(7, t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = [
+        r["ewma_u"]
+        for r in ewma_series(df, alpha_num=1, alpha_shift=2, scale=1)
+        .orderBy("ts")
+        .collect()
+    ]
+    # s1=100; s2=100+((0-100)>>2)=100-25=75; s3=75+((40-75)>>2)=75-9=66
+    # (floor: -35>>2 = -9 in arithmetic shift... -35//4 = -9) -> 66
+    # s4=66+((40-66)>>2)=66+(-26//4)=66-7=59; s5=59+((1-59)>>2)=59-15=44
+    assert got == [100, 75, 66, 59, 44]
+
+
+def test_ewma_batch_boundary_carryover(spark):
+    """A key whose rows span Arrow batches must recurse as ONE series."""
+    from datetime import datetime, timedelta
+
+    from yatsm_spark.operators.series import ewma_series
+
+    t0 = datetime(2024, 1, 1)
+    n = 500
+    rows = [(1, t0 + timedelta(minutes=i), float(i % 17)) for i in range(n)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    small = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got = [
+            r["ewma_u"]
+            for r in ewma_series(df, scale=1).orderBy("ts").collect()
+        ]
+    finally:
+        if small is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", small)
+    # python mirror: int // is floor division = the arithmetic shift
+    s = None
+    exp = []
+    for i in range(n):
+        x = i % 17
+        s = x if s is None else s + ((x - s) * 1) // 4
+        exp.append(s)
+    assert got == exp

@@ -603,3 +603,76 @@ def duplicate_span_stats(
             ).alias("dup_span_frac_x1e4"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    max_docs: int = 1,
+    broadcast_threshold: int | None = 10_000_000,
+) -> DataFrame:
+    """Paragraph-level boilerplate dedup: drop every occurrence of any
+    paragraph (``delim``-separated text unit) appearing in more than
+    ``max_docs`` DISTINCT documents, and reassemble the surviving text
+    in order — the RefinedWeb/Dolma paragraph-dedup stage (nav bars,
+    cookie banners, license boilerplate repeat across pages verbatim
+    while the doc as a whole is unique, so doc-level dedup never sees
+    them).  Returns (id, clean_text, n_paras, n_dropped).
+
+    Scale shape (100 TB): the document TEXT never shuffles.  The explode
+    projects each paragraph to (id, pos, xxhash64) map-side — ~24 B/row
+    through the two slim aggregates (distinct (h, id) -> doc-frequency;
+    hot set = freq > max_docs) — and the hot set joins back against the
+    slim (id, pos, h) stream, broadcast when its measured count is under
+    ``broadcast_threshold`` (decontaminate's count-guard pattern; None =
+    let AQE decide).  Dropped POSITIONS are regrouped per doc (a few
+    ints/doc) and the final join back to ``docs`` is on the id, after
+    which the line filter is a map-side array expression over
+    split(text) — so the only payload-bearing shuffle in the whole plan
+    is that id-keyed join of (id, drop_pos-array), not the corpus.
+
+    Identity is the 64-bit xxhash64 of the verbatim paragraph (the same
+    collision stance as the MinHash pipeline); semantics are defined on
+    paragraph CONTENT — the DuckDB oracle groups the raw strings.
+    Null text coalesces to '' (one empty paragraph, both engines).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(txt, delim)).alias("pos", "ln"),
+    ).select("id", "pos", F.xxhash64("ln").alias("h"))
+    hot = (
+        paras.select("h", "id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > max_docs)
+        .select("h")
+    )
+    if broadcast_threshold is not None and hot.count() <= broadcast_threshold:
+        hot = F.broadcast(hot)
+    drops = (
+        paras.join(hot, "h", "inner")
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("_drop_pos"),
+            F.count("*").alias("_n_dropped"),
+        )
+    )
+    ls = F.split(txt, delim)
+    kept = F.filter(
+        ls,
+        lambda ln, i: F.col("_drop_pos").isNull()
+        | ~F.array_contains(F.col("_drop_pos"), i),
+    )
+    return (
+        docs.join(drops, docs[id_col] == drops["id"], "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, delim).alias("clean_text"),
+            F.size(ls).cast("bigint").alias("n_paras"),
+            F.coalesce("_n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+        )
+    )

@@ -651,3 +651,171 @@ def m4_downsample(
         )
     )
     return out
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+    window: int = 24,
+    min_obs: int = 8,
+    k: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Rolling z-score anomaly flags per series: an observation is
+    anomalous when it sits more than ``k`` sample standard deviations
+    from the mean of its own trailing ``window`` observations (the
+    current point is EXCLUDED from its baseline — a spike must not
+    inflate the deviation it is judged against).  The standard
+    metrics-engine outlier primitive (Prometheus z-score recipes,
+    Timescale anomaly detection).
+
+    Exactness: the flag is evaluated WITHOUT any floating division —
+    values scale to integer micro-units and the comparison
+        z^2 > k^2   <=>   (x*n - s)^2 > k^2 * (n*ssq - s^2)
+    is cross-multiplied in decimal(38,0) (s = trailing sum, ssq =
+    trailing sum of squares; ssq alone can pass 2^63 at large windows,
+    and the squares certainly do).  Zero-variance baselines flag exactly
+    when x differs from the constant (lhs > 0 = rhs).  Engine-,
+    partitioning- and cluster-size-exact, like every flag this repo
+    emits.
+
+    Returns (key, ts[, tiebreak], value_u, n_win, is_anom) — is_anom = 0
+    whenever the baseline has fewer than ``min_obs`` points.
+
+    Scale shape (100 TB): ONE window exchange+sort on the key; all three
+    trailing statistics share the single frame, and on the key-bucketed
+    presorted layout (sources/storage.py) the exchange vanishes —
+    identical profile to sliding_mean/locf.
+    """
+    order_cols = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, -1)
+    )
+    vu = F.floor(F.col(value_col) * scale).cast("long")
+    dec = "decimal(38,0)"
+    x = F.col("_vu").cast(dec)
+    n = F.count("_vu").over(w).cast(dec)
+    s = F.sum("_vu").over(w).cast(dec)
+    ssq = F.sum(F.col("_vu").cast(dec) * F.col("_vu").cast(dec)).over(w)
+    lhs = (x * n - s) * (x * n - s)
+    rhs = F.lit(k * k).cast(dec) * (n * ssq - s * s)
+    return (
+        df.select(
+            F.col(key_col), F.col(ts_col), vu.alias("_vu"),
+            *([F.col(order_tiebreak)] if order_tiebreak else []),
+        )
+        .select(
+            key_col,
+            ts_col,
+            *([order_tiebreak] if order_tiebreak else []),
+            F.col("_vu").alias("value_u"),
+            n.cast("bigint").alias("n_win"),
+            F.when((n >= min_obs) & (lhs > rhs), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_anom"),
+        )
+    )
+
+
+def ewma_series(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+    alpha_num: int = 1,
+    alpha_shift: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exponentially-weighted moving average per series — the recursive
+    smoother every timeseries engine ships (Prometheus holt_winters'
+    level term, Timescale/Influx EMA).  alpha is DYADIC
+    (``alpha_num`` / 2^``alpha_shift``, default 1/4) and the recursion
+    runs in integer micro-units with arithmetic-shift flooring:
+
+        s_1 = x_1;   s_n = s_{n-1} + ((x_n - s_{n-1}) * alpha_num >> alpha_shift)
+
+    so every step is exact int64 arithmetic — the result is engine-,
+    partitioning- and cluster-size-exact (a float EWMA's value depends
+    on nothing, but hash-matching an independent engine requires the
+    arithmetic itself to be integral; the DuckDB oracle replays the same
+    recursion in a recursive CTE).  numpy's ``>>`` on int64 is an
+    arithmetic shift = floor division by 2^shift, negatives included.
+
+    EWMA is inherently recursive — no window frame expresses it — so
+    this is the repo's standard vectorized-kernel shape (north_star:
+    "vectorized pandas/Arrow UDFs, never per-row Python"):
+    repartition(key) + sortWithinPartitions + ONE mapInPandas, with the
+    batch-boundary key carried over exactly like plans/blobs._url_runs.
+    Inside a partition the recursion is STEPPED-MATRIX vectorized: one
+    loop over max-run-LENGTH, each step a numpy op across every active
+    series in the partition — per-partition cost O(max_len) vector ops,
+    not O(rows) Python iterations (a partition holds many short series
+    at design scale, so the loop count is the longest series, not the
+    row count).
+
+    Returns (key, ts[, tiebreak], value_u, ewma_u).
+    """
+    import numpy as np
+    import pandas as pd
+
+    a, sh = int(alpha_num), int(alpha_shift)
+    if not (0 < a <= (1 << sh)):
+        raise ValueError("alpha_num must be in (0, 2^alpha_shift]")
+    extra = [order_tiebreak] if order_tiebreak else []
+    vu = F.floor(F.col(value_col) * scale).cast("long")
+    src = df.select(
+        F.col(key_col), F.col(ts_col), *[F.col(c) for c in extra], vu.alias("value_u")
+    ).repartition(key_col).sortWithinPartitions(key_col, ts_col, *extra)
+
+    fields = {f.name: f for f in src.schema.fields}
+    out_schema = "{}, {}, {}value_u long, ewma_u long".format(
+        f"{key_col} {fields[key_col].dataType.simpleString()}",
+        f"{ts_col} {fields[ts_col].dataType.simpleString()}",
+        "".join(
+            f"{c} {fields[c].dataType.simpleString()}, " for c in extra
+        ),
+    )
+
+    def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        keys = pdf[key_col].to_numpy()
+        x = pdf["value_u"].to_numpy(dtype=np.int64)
+        bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [keys.size]))
+        s = np.empty_like(x)
+        s[starts] = x[starts]
+        lens = ends - starts
+        # stepped-matrix recursion: advance every run one step per loop
+        for t in range(1, int(lens.max()) if lens.size else 0):
+            pos = starts[lens > t] + t
+            prev = s[pos - 1]
+            s[pos] = prev + (((x[pos] - prev) * a) >> sh)
+        out = pdf[[key_col, ts_col, *extra, "value_u"]].copy()
+        out["ewma_u"] = s
+        return out
+
+    def _partition(batches):
+        pend = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+            keys = pdf[key_col].to_numpy()
+            cut = int(np.flatnonzero(keys == keys[-1])[0])
+            pend = pdf.iloc[cut:]
+            if cut:
+                yield _run(pdf.iloc[:cut])
+        if pend is not None and len(pend):
+            yield _run(pend)
+
+    return src.mapInPandas(_partition, schema=out_schema)
