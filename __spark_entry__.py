@@ -1117,6 +1117,25 @@ def _q_ewma_events(spark, sf):
     return ewma_series(_t(spark, sf, "events"), order_tiebreak="event_id")
 
 
+def _q_twa_1h(spark, sf):
+    """Time-weighted average per (user, hour) under LOCF — TimescaleDB's
+    time_weight: the integral of the step function over covered micro-
+    seconds, floor-divided in decimal(38,0)."""
+    from yatsm_spark.operators.series import time_weighted_avg
+
+    return time_weighted_avg(_t(spark, sf, "events"), "1h", order_tiebreak="event_id")
+
+
+def _q_emb_kmeans(spark, sf):
+    """Deterministic distributed k-means: Lloyd's run entirely in integer
+    micro-units (integer squared-L2 argmin assignment, pmod-exact
+    floor-div centroid update), so the fit itself — not just a readout —
+    hash-matches a DuckDB twin unrolling the same iteration."""
+    from yatsm_spark.operators.similarity import kmeans_exact
+
+    return kmeans_exact(_t(spark, sf, "embeddings"), k=8, n_iter=1, dim=64)
+
+
 def _q_docs_paragraph_dedup(spark, sf):
     """Paragraph-level boilerplate dedup (RefinedWeb/Dolma stage): lines
     repeated across >1 docs drop everywhere, text reassembled in order.
@@ -1238,6 +1257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore_24": _q_anomaly_zscore,
         "ewma_events": _q_ewma_events,
         "docs_paragraph_dedup": _q_docs_paragraph_dedup,
+        "emb_kmeans": _q_emb_kmeans,
+        "twa_1h": _q_twa_1h,
     }
 
 
@@ -2634,6 +2655,80 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
 
+# twa_1h: LOCF time-weighted average — lead(ts) capped at bucket end,
+# weighted sum in HUGEINT (Spark: decimal(38,0)), exact floor division.
+_TWA_1H = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         {_b("ts", 3600)} AS bucket_ts,
+         CAST(floor(value * 1000000) AS BIGINT) AS vu,
+         epoch_us(ts) AS tu,
+         (CAST(floor(epoch(ts) / 3600) AS BIGINT) + 1) * 3600 * 1000000 AS end_u
+  FROM events),
+seg AS (
+  SELECT user_id, bucket_ts, vu, tu,
+         least(coalesce(lead(tu) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id), end_u),
+               end_u) - tu AS dt
+  FROM v),
+agg AS (
+  SELECT user_id, bucket_ts,
+         sum(CAST(vu AS HUGEINT) * CAST(dt AS HUGEINT)) AS sc,
+         sum(CAST(dt AS HUGEINT)) AS cov,
+         count(*) AS n_obs
+  FROM seg GROUP BY 1, 2)
+SELECT user_id, bucket_ts,
+       ((sc - ((sc % cov + cov) % cov)) // cov)::BIGINT AS twa_u,
+       cov::BIGINT AS covered_us, n_obs
+FROM agg
+"""
+
+# emb_kmeans: the SAME integer Lloyd's iteration unrolled in SQL —
+# quantize, assign to the hash-stratified seeds (integer squared-L2,
+# ties to smallest cid), update centroids with the pmod-exact floor-div,
+# reassign.  Component sums run in HUGEINT (Spark: bigint + decimal div).
+_EMB_KMEANS = """
+WITH pts AS (
+  SELECT vec_id AS n_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+  FROM embeddings),
+c0 AS (
+  SELECT n_id AS cid, xu AS cu FROM pts
+  ORDER BY ('0x' || substr(md5(CAST(n_id AS VARCHAR)), 1, 8))::BIGINT, n_id
+  LIMIT 8),
+d1 AS (
+  SELECT p.n_id, p.xu, c.cid,
+         list_sum(list_transform(list_zip(p.xu, c.cu),
+                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+  FROM pts p CROSS JOIN c0 c),
+a1 AS (
+  SELECT n_id, xu, cid AS cluster FROM (
+    SELECT n_id, xu, cid,
+           row_number() OVER (PARTITION BY n_id ORDER BY d2, cid) AS rn
+    FROM d1) WHERE rn = 1),
+n1 AS (SELECT cluster, count(*) AS n FROM a1 GROUP BY 1),
+e1 AS (
+  SELECT cluster, generate_subscripts(xu, 1) AS pos, unnest(xu) AS vu
+  FROM a1),
+c1 AS (
+  SELECT s.cluster AS cid,
+         list((s.sv - ((s.sv % n1.n + n1.n) % n1.n)) // n1.n ORDER BY s.pos) AS cu
+  FROM (SELECT cluster, pos, sum(vu) AS sv FROM e1 GROUP BY 1, 2) s
+  JOIN n1 USING (cluster)
+  GROUP BY s.cluster),
+d2s AS (
+  SELECT p.n_id, c.cid,
+         list_sum(list_transform(list_zip(p.xu, c.cu),
+                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+  FROM pts p CROSS JOIN c1 c)
+SELECT n_id, cid AS cluster, d2 FROM (
+  SELECT n_id, cid, d2,
+         row_number() OVER (PARTITION BY n_id ORDER BY d2, cid) AS rn
+  FROM d2s) WHERE rn = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1h": _ROLLUP_1H,
@@ -2712,6 +2807,8 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_zscore_24": _ANOMALY_Z24,
         "ewma_events": _EWMA_EVENTS,
         "docs_paragraph_dedup": _DOCS_PARA_DEDUP,
+        "emb_kmeans": _EMB_KMEANS,
+        "twa_1h": _TWA_1H,
         "docs_pii_redact": _DOCS_PII,
         "docs_repetition": _DOCS_REPETITION,
         "docs_decontam": _DOCS_DECONTAM,

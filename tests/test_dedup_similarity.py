@@ -629,3 +629,75 @@ def test_paragraph_dedup_max_docs_threshold(spark):
     # 'shared' is in exactly 2 docs, max_docs=2 -> kept everywhere
     assert out[1]["clean_text"] == "shared\nown1"
     assert out[1]["n_dropped"] == 0
+
+
+def _kmeans_mirror(pts, k, n_iter, scale=1_000_000):
+    """Pure-python mirror of kmeans_exact's integer Lloyd's iteration."""
+    import hashlib
+    import math
+
+    xu = {i: [math.floor(x * scale) for x in v] for i, v in pts.items()}
+    order = sorted(
+        xu, key=lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16), i)
+    )
+    cents = {i: list(xu[i]) for i in order[:k]}
+
+    def assign(cents):
+        out = {}
+        for n_id, x in xu.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(x, cu)), cid)
+                for cid, cu in cents.items()
+            )
+            out[n_id] = best  # (d2, cid)
+        return out
+
+    for _ in range(n_iter):
+        a = assign(cents)
+        groups = {}
+        for n_id, (_, cid) in a.items():
+            groups.setdefault(cid, []).append(xu[n_id])
+        cents = {
+            cid: [sum(col) // len(xs) for col in zip(*xs)]
+            for cid, xs in groups.items()
+        }
+    return {n_id: (cid, d2) for n_id, (d2, cid) in assign(cents).items()}
+
+
+def test_kmeans_exact_matches_python_mirror(spark):
+    """The integer Lloyd's fit must equal a from-scratch python mirror
+    bit-for-bit — the determinism claim IS the spec."""
+    from yatsm_spark.operators.similarity import kmeans_exact
+
+    import random
+
+    rng = random.Random(42)
+    pts = {
+        i: [rng.uniform(-1, 1) + (3.0 if i % 3 == 0 else 0.0) for _ in range(4)]
+        for i in range(30)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<double>"
+    )
+    exp = _kmeans_mirror(pts, k=3, n_iter=2)
+    got = {
+        r["n_id"]: (r["cluster"], r["d2"])
+        for r in kmeans_exact(df, k=3, n_iter=2, dim=4).collect()
+    }
+    assert got == exp
+
+
+def test_kmeans_exact_partitioning_invariant(spark):
+    """Same fit regardless of input partitioning (the float-kmeans
+    failure mode the integer algebra exists to remove)."""
+    from yatsm_spark.operators.similarity import kmeans_exact
+
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, [rng.uniform(0, 1) for _ in range(4)]) for i in range(40)]
+    df1 = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    df2 = df1.repartition(13)
+    a = sorted(kmeans_exact(df1, k=4, n_iter=2, dim=4).collect())
+    b = sorted(kmeans_exact(df2, k=4, n_iter=2, dim=4).collect())
+    assert a == b

@@ -376,3 +376,53 @@ def test_ewma_batch_boundary_carryover(spark):
         s = x if s is None else s + ((x - s) * 1) // 4
         exp.append(s)
     assert got == exp
+
+
+def test_time_weighted_avg_hand_values(spark):
+    """LOCF integral by hand: bursts must NOT over-weight the mean."""
+    from datetime import datetime
+
+    from yatsm_spark.operators.series import time_weighted_avg
+
+    rows = [
+        # user 1, hour 00: v=10 for 30min then v=20 for 30min -> twa 15.0;
+        # a plain mean of the OBS would also be 15 here, so add a burst:
+        # three rapid 20s in the last half hour must not tilt the integral.
+        (1, datetime(2024, 1, 1, 0, 0), 10.0),
+        (1, datetime(2024, 1, 1, 0, 30), 20.0),
+        (1, datetime(2024, 1, 1, 0, 40), 20.0),
+        (1, datetime(2024, 1, 1, 0, 50), 20.0),
+        # user 2: next obs lands in the NEXT bucket -> dt caps at the
+        # bucket end (10 min), and bucket 1 coverage starts at 01:10.
+        (2, datetime(2024, 1, 1, 0, 50), 4.0),
+        (2, datetime(2024, 1, 1, 1, 10), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r["user_id"], r["bucket_ts"].hour): r
+        for r in time_weighted_avg(df, "1h").collect()
+    }
+    r1 = out[(1, 0)]
+    # integral: 10*30min + 20*30min over 60min covered -> 15.0
+    assert r1["twa_u"] == 15_000_000
+    assert r1["covered_us"] == 3_600_000_000
+    assert r1["n_obs"] == 4
+    r2a, r2b = out[(2, 0)], out[(2, 1)]
+    assert r2a["twa_u"] == 4_000_000 and r2a["covered_us"] == 600_000_000
+    assert r2b["twa_u"] == 8_000_000 and r2b["covered_us"] == 3_000_000_000
+
+
+def test_time_weighted_avg_floor_and_partial_coverage(spark):
+    from datetime import datetime
+
+    from yatsm_spark.operators.series import time_weighted_avg
+
+    rows = [
+        # 20min at 1.0 then 40min at 2.0 -> (1*20+2*40)/60 = 5/3 -> floor
+        (9, datetime(2024, 1, 1, 5, 0), 1.0),
+        (9, datetime(2024, 1, 1, 5, 20), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    [r] = time_weighted_avg(df, "1h").collect()
+    assert r["twa_u"] == 1_666_666  # floor(5e6/3)
+    assert r["n_obs"] == 2

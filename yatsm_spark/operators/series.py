@@ -819,3 +819,83 @@ def ewma_series(
             yield _run(pend)
 
     return src.mapInPandas(_partition, schema=out_schema)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Time-weighted average per (key, tumbling bucket) under LOCF
+    interpolation — TimescaleDB's ``time_weight('LOCF')``: with
+    irregular sampling a plain mean over-weights chatty intervals (10
+    readings in a burst vs 1 an hour counts the burst 10x); the honest
+    bucket statistic is the INTEGRAL of the step function divided by the
+    covered duration.
+
+    Semantics (documented contract): each observation holds its value
+    until the next observation or the bucket end, whichever is earlier;
+    coverage runs from the bucket's FIRST observation to the bucket end
+    (no carry-in from the previous bucket — the per-bucket form every
+    engine's bucketed time_weight computes).  Durations are integer
+    MICROSECONDS and the weighted sum runs in decimal(38,0) (a 30d
+    bucket's v*dt products pass 2^63), so
+
+        twa_u = floor( sum(value_u * dt_us) / sum(dt_us) )
+
+    is engine/partitioning/cluster-size exact.  Returns
+    (key, bucket_ts, twa_u, covered_us, n_obs).
+
+    Scale shape (100 TB): ONE window exchange+sort on the key for the
+    lead(ts), then a map-side-combined hash aggregate on (key, bucket) —
+    the counter_increase profile exactly; exchange-free on the
+    key-bucketed presorted layout.
+    """
+    order_cols = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    secs = TIER_SECONDS[tier]
+    vu = F.floor(F.col(value_col) * scale).cast("long")
+    # unix_micros rejects TIMESTAMP_NTZ; the session TZ is pinned UTC so
+    # the cast is a pure type relabel, not a wall-clock shift.
+    tu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    end_u = (
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) + 1) * secs
+    ).cast("long") * F.lit(1_000_000)
+    scaled = df.select(
+        F.col(key_col),
+        bucket_col(ts_col, tier).alias("bucket_ts"),
+        vu.alias("_vu"),
+        tu.alias("_tu"),
+        end_u.alias("_end"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+        F.col(ts_col),
+    )
+    nxt = F.lead("_tu").over(w)
+    dt = F.least(F.coalesce(nxt, F.col("_end")), F.col("_end")) - F.col("_tu")
+    dec = "decimal(38,0)"
+    contrib = F.col("_vu").cast(dec) * dt.cast(dec)
+    agg = (
+        scaled.withColumn("_dt", dt)
+        .withColumn("_c", contrib)
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.sum("_c").alias("_sc"),
+            F.sum("_dt").alias("covered_us"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    num, den = F.col("_sc"), F.col("covered_us").cast(dec)
+    twa = ((num - F.pmod(num, den)) / den).cast("bigint")
+    return agg.select(
+        key_col,
+        "bucket_ts",
+        twa.alias("twa_u"),
+        F.col("covered_us").cast("bigint").alias("covered_us"),
+        "n_obs",
+    )

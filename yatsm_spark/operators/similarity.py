@@ -430,3 +430,106 @@ def semantic_dedup(
             F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("kept"),
         )
     )
+
+
+def kmeans_exact(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DETERMINISTIC distributed k-means (Lloyd's) over an embedding
+    column — every arithmetic step in integer micro-units, so the fit is
+    engine-, partitioning- and cluster-size-exact (the property the IVF
+    coarse quantizer's docstring says float k-means cannot have: float
+    centroid means depend on reduction order, so two runs of classic
+    k-means on the same data need not agree.  Quantize first and they
+    must):
+
+      * points quantize once: xu[i] = floor(x[i] * scale)  (int64)
+      * assignment: argmin integer squared L2 (sum of (xu-cu)^2 — exact
+        bigints), ties to the smallest centroid id
+      * update: cu[i] = floor(sum(xu[i]) / n) — component sums are
+        associative bigint adds, the division is the pmod-exact decimal
+        route (sums can pass 2^53, where a double quotient would round)
+      * init: the hash-stratified seed rule shared with the IVF
+        quantizer (_coarse_quantize) — uniform under a fixed key,
+        independent of id density
+
+    Returns the final assignment (id, cluster, d2) against the
+    ``n_iter``-times-updated centroids — all bigint, so a DuckDB twin
+    unrolling the same iterations hash-matches exactly.
+
+    Scale shape (100 TB): per iteration ONE broadcast of k centroids
+    (bounded driver-free: the k-row frame broadcasts, never collects),
+    one map-side crossJoin against them, one struct-min hash aggregate
+    for assignment, and one k-row component-sum aggregate (dim sum
+    columns, map-side combined) — no shuffle ever carries vectors except
+    the k-row centroid frame.  Empty clusters simply vanish (standard
+    Lloyd's); k can shrink.  Component-sum bound: n_points * scale/2 per
+    cluster must stay under 2^63 — at 10^12 points and scale 1e6 that is
+    5e17, inside int64.
+    """
+    xu = F.transform(
+        F.col(vec_col), lambda v: F.floor(v.cast("double") * scale).cast("long")
+    )
+    pts = vectors.select(F.col(id_col).alias("n_id"), xu.alias("xu"))
+    seed_hash = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    cents = (
+        vectors.select(
+            F.col(id_col).alias("cid"), xu.alias("cu"), seed_hash.alias("_h")
+        )
+        .orderBy(F.col("_h").asc(), F.col("cid").asc())
+        .limit(k)
+        .drop("_h")
+    )
+
+    d2 = F.aggregate(
+        F.zip_with("xu", "cu", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def _assign(cents_df: DataFrame) -> DataFrame:
+        return (
+            pts.crossJoin(F.broadcast(cents_df))
+            .withColumn("_d2", d2)
+            .groupBy("n_id")
+            .agg(F.min(F.struct("_d2", "cid", "xu")).alias("_s"))
+            .select(
+                "n_id",
+                F.col("_s.cid").alias("cluster"),
+                F.col("_s._d2").alias("d2"),
+                F.col("_s.xu").alias("xu"),
+            )
+        )
+
+    def _fld(num, den) -> F.Column:
+        # floor(num/den), num possibly NEGATIVE, exact past 2^53: strip
+        # the nonneg pmod remainder, divide in decimal (quality._x1e4's
+        # route), cast back
+        exact = (num - F.pmod(num, den)).cast("decimal(38,0)")
+        return (exact / den).cast("bigint")
+
+    for _ in range(int(n_iter)):
+        assigned = _assign(cents)
+        n = F.count(F.lit(1))
+        cents = (
+            assigned.groupBy(F.col("cluster").alias("cid"))
+            .agg(
+                n.alias("_n"),
+                *[F.sum(F.col("xu")[i]).alias(f"_s{i}") for i in range(dim)],
+            )
+            .select(
+                "cid",
+                F.array(
+                    *[_fld(F.col(f"_s{i}"), F.col("_n")) for i in range(dim)]
+                ).alias("cu"),
+            )
+        )
+    return _assign(cents).select("n_id", "cluster", "d2")
