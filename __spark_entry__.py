@@ -1136,6 +1136,17 @@ def _q_emb_kmeans(spark, sf):
     return kmeans_exact(_t(spark, sf, "embeddings"), k=8, n_iter=1, dim=64)
 
 
+def _q_kmv_distinct_1d(spark, sf):
+    """KMV distinct-count sketch tier: 1h bottom-k hash sketches cascade
+    to 1d and answer per-(event_type, day) distinct users after raw
+    age-out — the oracle re-derives the bottom-k + estimator algebra
+    from RAW events, so a green row proves the KMV merge exact."""
+    from yatsm_spark.operators.sketch import kmv_cascade, kmv_estimate, kmv_sketch
+
+    sk1h = kmv_sketch(_t(spark, sf, "events"), "1h")
+    return kmv_estimate(kmv_cascade(sk1h, "1d"))
+
+
 def _q_docs_paragraph_dedup(spark, sf):
     """Paragraph-level boilerplate dedup (RefinedWeb/Dolma stage): lines
     repeated across >1 docs drop everywhere, text reassembled in order.
@@ -1173,7 +1184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # topk_users, sessionize_30m, and (making room for the three NEW ops
     # interp_linear_1h / m4_daily / docs_chunk_windows / docs_c4_filter)
     # sliding_mean_24h, window_deltas, asof_prev_purchase,
-    # asof_nearest_purchase.  See COVERAGE.md for the matrix.
+    # asof_nearest_purchase, and (making room for the LATE round-4 ops
+    # hist_p95_1d / anomaly_zscore_24 / ewma_events / twa_1h /
+    # kmv_distinct_1d / docs_paragraph_dedup / emb_kmeans)
+    # docs_text_quality, docs_lang_id, docs_simhash32, emb_norms,
+    # emb_ann_topk, docs_pii_redact, docs_decontam — all r3 driver-green
+    # with code untouched this round.  See COVERAGE.md for the matrix.
     return {
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
@@ -1190,14 +1206,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_score": _q_docs_lm_score,
         "docs_dsir_score": _q_docs_dsir_score,
         "docs_nb_lang": _q_docs_nb_lang,
-        "docs_text_quality": _q_docs_quality,
-        "docs_lang_id": _q_docs_lang_id,
+        "hist_p95_1d": _q_hist_p95_1d,
+        "anomaly_zscore_24": _q_anomaly_zscore,
+        "ewma_events": _q_ewma_events,
+        "twa_1h": _q_twa_1h,
+        "kmv_distinct_1d": _q_kmv_distinct_1d,
+        "docs_paragraph_dedup": _q_docs_paragraph_dedup,
+        "emb_kmeans": _q_emb_kmeans,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard_pairs": _q_docs_jaccard,
         "docs_minhash_sigs": _q_docs_minhash,
-        "docs_simhash32": _q_docs_simhash,
-        "emb_norms": _q_emb_norms,
-        "emb_ann_topk": _q_emb_ann,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "counter_increase_1h": _q_counter_increase_1h,
@@ -1209,9 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_content_drift": _q_docs_content_drift,
         "neardup_clusters": _q_neardup_clusters,
         "corpus_clean_e2e": _q_corpus_clean_e2e,
-        "docs_pii_redact": _q_docs_pii_redact,
         "docs_repetition": _q_docs_repetition,
-        "docs_decontam": _q_docs_decontam,
         "docs_top_quartile": _q_docs_top_quartile,
         "docs_domain_cap": _q_docs_domain_cap,
         "docs_pack_budget": _q_docs_pack_budget,
@@ -1227,6 +1243,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccdc_classify_synth": _classify_synth,
         # ---- below the driver's 50-query window (full-registry coverage
         # via scripts/check_oracle.py; all driver-green in r1-r3) ----
+        "docs_text_quality": _q_docs_quality,
+        "docs_lang_id": _q_docs_lang_id,
+        "docs_simhash32": _q_docs_simhash,
+        "emb_norms": _q_emb_norms,
+        "emb_ann_topk": _q_emb_ann,
+        "docs_pii_redact": _q_docs_pii_redact,
+        "docs_decontam": _q_docs_decontam,
         "asof_nearest_purchase": _q_asof_nearest,
         "sliding_mean_24h": _q_sliding_24h,
         "window_deltas": _q_window_deltas,
@@ -1251,14 +1274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_neardup": _q_emb_neardup,
         "docs_hash_split": _q_docs_hash_split,
         "percentile_daily": _q_percentile_daily,
-        # ---- NEW round-4 (post-rotation; local-mimic this round,
-        # rotation candidates for round 5) ----
-        "hist_p95_1d": _q_hist_p95_1d,
-        "anomaly_zscore_24": _q_anomaly_zscore,
-        "ewma_events": _q_ewma_events,
-        "docs_paragraph_dedup": _q_docs_paragraph_dedup,
-        "emb_kmeans": _q_emb_kmeans,
-        "twa_1h": _q_twa_1h,
     }
 
 
@@ -2582,6 +2597,32 @@ FROM tot t
 JOIN p50 USING (user_id, bucket_ts) JOIN p95 USING (user_id, bucket_ts)
 """
 
+
+# kmv_distinct_1d: re-derive the KMV algebra from RAW events — DISTINCT
+# portable 32-bit hashes per (event_type, day), rank, keep bottom 32,
+# exact count below k / floor((k-1)*2^32 / kth_min) at k.  A green row
+# proves the 1h->1d sketch MERGE exact (the oracle never builds the
+# intermediate tier).
+_KMV_DISTINCT_1D = f"""
+WITH hv AS (
+  SELECT DISTINCT event_type, {_b("ts", 86400)} AS bucket_ts,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM events),
+rk AS (
+  SELECT event_type, bucket_ts, hv,
+         row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY hv) AS rn
+  FROM hv),
+sk AS (
+  SELECT event_type, bucket_ts, count(*)::BIGINT AS sz,
+         max(CASE WHEN rn = 32 THEN hv END) AS kth
+  FROM rk WHERE rn <= 32 GROUP BY 1, 2)
+SELECT event_type, bucket_ts,
+       CASE WHEN sz < 32 THEN sz
+            ELSE (31 * 4294967296) // greatest(kth, 1) END AS ndv_est,
+       sz AS sketch_size
+FROM sk
+"""
+
 # anomaly_zscore_24: identical cross-multiplied integer comparison; the
 # trailing sums run in HUGEINT (the Spark side uses decimal(38,0)).
 _ANOMALY_Z24 = """
@@ -2809,6 +2850,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_paragraph_dedup": _DOCS_PARA_DEDUP,
         "emb_kmeans": _EMB_KMEANS,
         "twa_1h": _TWA_1H,
+        "kmv_distinct_1d": _KMV_DISTINCT_1D,
         "docs_pii_redact": _DOCS_PII,
         "docs_repetition": _DOCS_REPETITION,
         "docs_decontam": _DOCS_DECONTAM,

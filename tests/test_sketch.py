@@ -56,3 +56,63 @@ def test_hist_sketch_arrays_sorted_and_total(spark):
     for r in hist_sketch(_events(spark, rows), "1h", scale=1, width_u=7).collect():
         assert r["hb"] == sorted(r["hb"])
         assert sum(r["cnt"]) == r["total"]
+
+
+def _kmv_events(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, ts timestamp, user_id long")
+
+
+def test_kmv_exact_below_k(spark):
+    """A bucket with fewer than k distinct values reads out EXACTLY."""
+    from yatsm_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    t0 = datetime(2024, 1, 1)
+    # 7 distinct users, each seen 3x (duplicates must collapse)
+    rows = [("click", t0 + timedelta(seconds=i), i % 7) for i in range(21)]
+    got = kmv_estimate(kmv_sketch(_kmv_events(spark, rows), "1h")).first()
+    assert got["ndv_est"] == 7
+    assert got["sketch_size"] == 7
+
+
+def test_kmv_cascade_equals_direct_build(spark):
+    """The exactness contract: 1h sketches MERGED to 1d equal a 1d
+    sketch built directly from raw — so the tier survives raw age-out."""
+    from yatsm_spark.operators.sketch import kmv_cascade, kmv_estimate, kmv_sketch
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (f"t{i % 3}", t0 + timedelta(minutes=11 * i), (i * 7919) % 400)
+        for i in range(1200)
+    ]
+    ev = _kmv_events(spark, rows)
+    via_cascade = kmv_estimate(kmv_cascade(kmv_sketch(ev, "1h"), "1d"))
+    direct = kmv_estimate(kmv_sketch(ev, "1d"))
+    a = sorted(map(tuple, via_cascade.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) > 3
+
+
+def test_kmv_two_phase_matches_one_window(spark):
+    """The skew-safe two-phase bottom-k is bit-identical to the plain
+    one-window form, at any input partitioning."""
+    from yatsm_spark.operators.sketch import kmv_sketch
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("hot", t0 + timedelta(seconds=i), i % 500) for i in range(2000)]
+    ev = _kmv_events(spark, rows).repartition(16)
+    a = sorted(map(tuple, kmv_sketch(ev, "1h", two_phase=True).collect()))
+    b = sorted(map(tuple, kmv_sketch(ev, "1h", two_phase=False).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_kmv_estimator_accuracy(spark):
+    """At n >> k the estimator lands within the KMV sampling-error band
+    (~1/sqrt(k-2) relative) — catches a silently-broken estimator."""
+    from yatsm_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    t0 = datetime(2024, 1, 1)
+    n = 5000
+    rows = [("e", t0 + timedelta(milliseconds=i), i) for i in range(n)]
+    got = kmv_estimate(kmv_sketch(_kmv_events(spark, rows), "1d", k=256), k=256).first()
+    assert got["sketch_size"] == 256
+    assert abs(got["ndv_est"] - n) / n < 0.25

@@ -178,3 +178,131 @@ def hist_percentile(
     return out.select(
         key_col, "bucket_ts", "total", *[f"p{q}_u" for q in qs]
     )
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch tier
+# ---------------------------------------------------------------------------
+
+#: hash space of portable_hash64 (first 8 hex chars of md5 => [0, 2^32)).
+_KMV_SPACE = 1 << 32
+
+
+def kmv_sketch(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    k: int = 32,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Per-(key, tier-bucket) KMV distinct sketch: the ``k`` smallest
+    portable 32-bit hashes of the DISTINCT ``value_col`` values
+    (Bar-Yossef et al. 2002 "Counting distinct elements in a data
+    stream").  Like :func:`hist_sketch` this is the mergeable sufficient
+    statistic that lets COUNT DISTINCT survive the tier cascade and raw
+    age-out — distinct is not algebraic, so the plain rollup cannot
+    carry it (A10's tier-crossing form; the exact per-bucket query
+    `distinct_users_exact` only answers at the tier it was built at).
+
+    Returns (key, bucket_ts, kmv: array<bigint> ascending, n_less_k:
+    whether the bucket held fewer than ``k`` distinct values — in that
+    case the sketch IS the exact distinct set).
+
+    Scale notes (100 TB design):
+      * One hash-aggregate DISTINCT on (key, bucket, hv) with map-side
+        partial aggregation absorbs per-bucket duplicate traffic before
+        the wire — the dominant volume at web scale (most events repeat
+        the same visitors).
+      * The bottom-k is the skew-safe two-phase rank (same shape as
+        quality.domain_cap): phase 1 ranks within (key, bucket,
+        spark_partition_id) so a hot key never sorts on one reducer —
+        any hash in the global bottom-k is in its fragment's bottom-k —
+        then phase 2 ranks the <= k * fragments survivors exactly.
+        Bit-identical to the one-window form and partitioning-invariant.
+      * Sketch rows are <= k bigints per (key, bucket): the tier is
+        ~|bucket|/k smaller than raw and cascades without re-reading it.
+
+    Hash collisions fold two values into one — the standard KMV regime;
+    with a 2^32 space the bias is ~n/2^33, far below the k=32..256
+    estimator's sampling error at any n this estimator is trusted for.
+    """
+    from yatsm_spark.functions.textops import portable_hash64
+
+    from pyspark.sql import Window
+
+    hv = portable_hash64(F.col(value_col).cast("string"))
+    dis = (
+        df.select(
+            F.col(key_col),
+            bucket_col(ts_col, tier).alias("bucket_ts"),
+            hv.alias("hv"),
+        )
+        .groupBy(key_col, "bucket_ts", "hv")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    if two_phase:
+        w1 = Window.partitionBy(key_col, "bucket_ts", "_pid").orderBy("hv")
+        dis = (
+            dis.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k)
+            .drop("_pid", "_rn")
+        )
+    w = Window.partitionBy(key_col, "bucket_ts").orderBy("hv")
+    kept = dis.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return (
+        kept.groupBy(key_col, "bucket_ts")
+        .agg(F.sort_array(F.collect_list("hv")).alias("kmv"))
+        .withColumn("n_less_k", F.size("kmv") < k)
+    )
+
+
+def kmv_cascade(
+    sketch: DataFrame, tier: str, key_col: str = "event_type", k: int = 32
+) -> DataFrame:
+    """Re-aggregate a finer KMV tier to ``tier`` — exact merge: any hash
+    in the coarse bucket's bottom-k is in its fine bucket's bottom-k
+    (at most k-1 hashes beat it anywhere), so the bottom-k of the union
+    of bottom-k sets equals the bottom-k of the full union.  Touches
+    only sketch rows; output schema matches :func:`kmv_sketch`, so tiers
+    cascade indefinitely (1h -> 1d -> 30d) after raw age-out.
+    """
+    from pyspark.sql import Window
+
+    exploded = sketch.select(
+        F.col(key_col),
+        bucket_col("bucket_ts", tier).alias("bucket_ts"),
+        F.explode("kmv").alias("hv"),
+    ).distinct()
+    w = Window.partitionBy(key_col, "bucket_ts").orderBy("hv")
+    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return (
+        kept.groupBy(key_col, "bucket_ts")
+        .agg(F.sort_array(F.collect_list("hv")).alias("kmv"))
+        .withColumn("n_less_k", F.size("kmv") < k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 32) -> DataFrame:
+    """Distinct-count readout: exact |set| when the bucket held < k
+    distinct values, else the KMV estimator floor((k-1) * 2^32 /
+    kth_min) — all bigint arithmetic ((k-1)*2^32 <= ~2^40), so the
+    readout is engine/partitioning/cluster-size exact and the DuckDB
+    oracle re-derives it bit-for-bit from raw rows.
+    """
+    kth = F.element_at("kmv", k)  # 1-based; only read when size == k
+    est = _fld(
+        F.lit((k - 1) * _KMV_SPACE).cast("long"),
+        F.greatest(kth, F.lit(1).cast("long")),
+    )
+    return sketch.select(
+        *[c for c in sketch.columns if c not in ("kmv", "n_less_k")],
+        F.when(F.col("n_less_k"), F.size("kmv").cast("long"))
+        .otherwise(est)
+        .alias("ndv_est"),
+        F.size("kmv").cast("long").alias("sketch_size"),
+    )
