@@ -1126,6 +1126,24 @@ def _q_twa_1h(spark, sf):
     return time_weighted_avg(_t(spark, sf, "events"), "1h", order_tiebreak="event_id")
 
 
+def _q_state_durations_1h(spark, sf):
+    """Time-in-state per (user, hour, event_type) under LOCF — the
+    state_agg/duration_in twin of twa_1h: integer-microsecond durations,
+    one key window + one hash aggregate."""
+    from yatsm_spark.operators.series import state_durations
+
+    return state_durations(_t(spark, sf, "events"), "1h", order_tiebreak="event_id")
+
+
+def _q_uptime_1h(spark, sf):
+    """Heartbeat uptime coverage per (user, hour): union length of
+    10-minute liveness intervals clipped to the bucket — heartbeat_agg's
+    interval-union algebra in pure integer microseconds."""
+    from yatsm_spark.operators.series import heartbeat_uptime
+
+    return heartbeat_uptime(_t(spark, sf, "events"), "1h", order_tiebreak="event_id")
+
+
 def _q_emb_kmeans(spark, sf):
     """Deterministic distributed k-means: Lloyd's run entirely in integer
     micro-units (integer squared-L2 argmin assignment, pmod-exact
@@ -1202,7 +1220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_daily": _q_m4_daily,
         "docs_chunk_windows": _q_docs_chunk_windows,
         "docs_c4_filter": _q_docs_c4_filter,
-        "ohlc_daily": _q_ohlc_daily,
         "docs_lm_score": _q_docs_lm_score,
         "docs_dsir_score": _q_docs_dsir_score,
         "docs_nb_lang": _q_docs_nb_lang,
@@ -1211,9 +1228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_events": _q_ewma_events,
         "twa_1h": _q_twa_1h,
         "kmv_distinct_1d": _q_kmv_distinct_1d,
+        "state_durations_1h": _q_state_durations_1h,
+        "uptime_1h": _q_uptime_1h,
         "docs_paragraph_dedup": _q_docs_paragraph_dedup,
         "emb_kmeans": _q_emb_kmeans,
-        "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard_pairs": _q_docs_jaccard,
         "docs_minhash_sigs": _q_docs_minhash,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
@@ -1243,6 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccdc_classify_synth": _classify_synth,
         # ---- below the driver's 50-query window (full-registry coverage
         # via scripts/check_oracle.py; all driver-green in r1-r3) ----
+        "ohlc_daily": _q_ohlc_daily,
+        "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_text_quality": _q_docs_quality,
         "docs_lang_id": _q_docs_lang_id,
         "docs_simhash32": _q_docs_simhash,
@@ -2724,6 +2744,49 @@ SELECT user_id, bucket_ts,
 FROM agg
 """
 
+# state_durations_1h / uptime_1h: the same lead-capped integer-
+# microsecond segment algebra as _TWA_1H, grouped by state (durations)
+# or clipped additionally at tu + liveness (interval-union uptime).
+_STATE_DUR_1H = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         {_b("ts", 3600)} AS bucket_ts,
+         epoch_us(ts) AS tu,
+         (CAST(floor(epoch(ts) / 3600) AS BIGINT) + 1) * 3600 * 1000000 AS end_u
+  FROM events),
+seg AS (
+  SELECT user_id, bucket_ts, state,
+         least(coalesce(lead(tu) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id), end_u),
+               end_u) - tu AS dt
+  FROM v)
+SELECT user_id, bucket_ts, state,
+       sum(dt)::BIGINT AS dur_us, count(*) AS n_obs
+FROM seg GROUP BY 1, 2, 3
+"""
+
+_UPTIME_1H = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         {_b("ts", 3600)} AS bucket_ts,
+         epoch_us(ts) AS tu,
+         (CAST(floor(epoch(ts) / 3600) AS BIGINT) + 1) * 3600 * 1000000 AS end_u
+  FROM events),
+seg AS (
+  SELECT user_id, bucket_ts,
+         least(coalesce(lead(tu) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id), tu + 600000000),
+               tu + 600000000, end_u) - tu AS up,
+         least(coalesce(lead(tu) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id), end_u),
+               end_u) - tu AS cov
+  FROM v)
+SELECT user_id, bucket_ts,
+       sum(up)::BIGINT AS up_us, count(*) AS n_beats,
+       (sum(cov) - sum(up))::BIGINT AS gap_us
+FROM seg GROUP BY 1, 2
+"""
+
 # emb_kmeans: the SAME integer Lloyd's iteration unrolled in SQL —
 # quantize, assign to the hash-stratified seeds (integer squared-L2,
 # ties to smallest cid), update centroids with the pmod-exact floor-div,
@@ -2850,6 +2913,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_paragraph_dedup": _DOCS_PARA_DEDUP,
         "emb_kmeans": _EMB_KMEANS,
         "twa_1h": _TWA_1H,
+        "state_durations_1h": _STATE_DUR_1H,
+        "uptime_1h": _UPTIME_1H,
         "kmv_distinct_1d": _KMV_DISTINCT_1D,
         "docs_pii_redact": _DOCS_PII,
         "docs_repetition": _DOCS_REPETITION,

@@ -426,3 +426,69 @@ def test_time_weighted_avg_floor_and_partial_coverage(spark):
     [r] = time_weighted_avg(df, "1h").collect()
     assert r["twa_u"] == 1_666_666  # floor(5e6/3)
     assert r["n_obs"] == 2
+
+
+def test_state_durations_hand_values(spark):
+    """duration_in by hand: LOCF state hold, capped at bucket end."""
+    from datetime import datetime
+
+    from yatsm_spark.operators.series import state_durations
+
+    rows = [
+        # user 1, hour 00: 'up' for 30min, 'down' 15min, 'up' to bucket end
+        (1, datetime(2024, 1, 1, 0, 0), "up"),
+        (1, datetime(2024, 1, 1, 0, 30), "down"),
+        (1, datetime(2024, 1, 1, 0, 45), "up"),
+        # user 2: next obs in NEXT bucket -> dt caps at bucket end
+        (2, datetime(2024, 1, 1, 0, 50), "idle"),
+        (2, datetime(2024, 1, 1, 1, 10), "busy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        (r["user_id"], r["bucket_ts"].hour, r["state"]): r
+        for r in state_durations(df, "1h").collect()
+    }
+    m = 60_000_000
+    assert out[(1, 0, "up")]["dur_us"] == 45 * m
+    assert out[(1, 0, "up")]["n_obs"] == 2
+    assert out[(1, 0, "down")]["dur_us"] == 15 * m
+    assert out[(2, 0, "idle")]["dur_us"] == 10 * m
+    assert out[(2, 1, "busy")]["dur_us"] == 50 * m
+
+
+def test_heartbeat_uptime_hand_values(spark):
+    """Interval-union uptime: overlapping beats merge, gaps past the
+    liveness window count as dead air inside covered time."""
+    from datetime import datetime
+
+    from yatsm_spark.operators.series import heartbeat_uptime
+
+    rows = [
+        # user 1, hour 00, liveness 10min:
+        # beats at :00 and :05 overlap (union 15min), then silence until
+        # :40 (dead :15-:40 = 25min), beat at :40 runs to :50, then dead
+        # to bucket end -> up = 15+10 = 25min, covered = 60min, gap 35min
+        (1, datetime(2024, 1, 1, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 5)),
+        (1, datetime(2024, 1, 1, 0, 40)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    [r] = heartbeat_uptime(df, "1h", liveness_us=600_000_000).collect()
+    m = 60_000_000
+    assert r["up_us"] == 25 * m
+    assert r["gap_us"] == 35 * m
+    assert r["n_beats"] == 3
+
+
+def test_heartbeat_uptime_caps_at_bucket_end(spark):
+    from datetime import datetime
+
+    from yatsm_spark.operators.series import heartbeat_uptime
+
+    # beat at :55 with 10min liveness -> only 5min counts in this bucket
+    df = spark.createDataFrame(
+        [(7, datetime(2024, 1, 1, 3, 55))], "user_id long, ts timestamp"
+    )
+    [r] = heartbeat_uptime(df, "1h", liveness_us=600_000_000).collect()
+    assert r["up_us"] == 5 * 60_000_000
+    assert r["gap_us"] == 0

@@ -20,6 +20,9 @@ Operators (SURVEY.md §2.4):
     (floor-exact integer blend; LOCF's companion policy)
   * :func:`m4_downsample`  — M4 first/min/max/last POINTS per bucket
     (Jugel et al. VLDB 2014 error-free rendering downsample)
+  * :func:`time_weighted_avg` — LOCF step-function integral per bucket
+  * :func:`state_durations` — time-in-state per bucket (state_agg twin)
+  * :func:`heartbeat_uptime` — liveness interval-union coverage per bucket
 
 Scale notes (100 TB design):
   * Every operator here is a single shuffle on its key (hash agg or window);
@@ -898,4 +901,128 @@ def time_weighted_avg(
         twa.alias("twa_u"),
         F.col("covered_us").cast("bigint").alias("covered_us"),
         "n_obs",
+    )
+
+
+def state_durations(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-in-state per (key, tumbling bucket, state) under LOCF —
+    TimescaleDB toolkit's ``state_agg``/``duration_in``: each observation
+    pins the series to ``state_col``'s value until the next observation
+    or the bucket end, whichever is earlier, and the operator reports how
+    long each state held.  The categorical sibling of
+    :func:`time_weighted_avg` (same no-carry-in per-bucket contract:
+    coverage runs from the bucket's first observation to the bucket end),
+    answering "how long was this url serving each language / this host in
+    each status" rather than "what was the average level".
+
+    Durations are integer MICROSECONDS (sums fit bigint: a 30d bucket is
+    2.6e12 us/key-state, and per-group duration is bounded by wall time,
+    not row count), so the result is engine/partitioning/cluster-size
+    exact.  Returns (key, bucket_ts, state, dur_us, n_obs) — one row per
+    OBSERVED state per bucket; states cascade to coarser tiers by plain
+    SUM (algebraic), unlike the underlying raw series.
+
+    Scale shape (100 TB): ONE window exchange+sort on the key for the
+    lead(ts), then a map-side-combined hash aggregate on (key, bucket,
+    state) — the time_weighted_avg profile exactly; exchange-free on the
+    key-bucketed presorted layout.
+    """
+    order_cols = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    secs = TIER_SECONDS[tier]
+    tu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    end_u = (
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) + 1) * secs
+    ).cast("long") * F.lit(1_000_000)
+    scaled = df.select(
+        F.col(key_col),
+        bucket_col(ts_col, tier).alias("bucket_ts"),
+        F.col(state_col).alias("state"),
+        tu.alias("_tu"),
+        end_u.alias("_end"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+        F.col(ts_col),
+    )
+    nxt = F.lead("_tu").over(w)
+    dt = F.least(F.coalesce(nxt, F.col("_end")), F.col("_end")) - F.col("_tu")
+    return (
+        scaled.withColumn("_dt", dt)
+        .groupBy(key_col, "bucket_ts", "state")
+        .agg(
+            F.sum("_dt").cast("bigint").alias("dur_us"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
+def heartbeat_uptime(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    liveness_us: int = 600_000_000,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Uptime coverage per (key, tumbling bucket) from heartbeat events —
+    TimescaleDB toolkit's ``heartbeat_agg``: each heartbeat asserts the
+    source was live for ``liveness_us`` microseconds (default 10 min);
+    the bucket's uptime is the length of the UNION of those intervals
+    clipped to [first heartbeat, bucket end] (the same no-carry-in
+    contract as :func:`time_weighted_avg`).
+
+    With heartbeats sorted per key, an interval can only overlap its
+    successor, so the union length is one pass:
+
+        up_us = sum( min(lead(tu), tu + liveness_us, bucket_end) - tu )
+
+    — all integer microseconds, engine/partitioning-exact.  Returns
+    (key, bucket_ts, up_us, n_beats, gap_us) where gap_us is covered
+    wall time minus uptime (dead air INSIDE the covered span; crawler/
+    host-health dashboards alert on it).  Uptime sums cascade to coarser
+    tiers by plain SUM.
+
+    Scale shape (100 TB): identical to :func:`state_durations` — one key
+    window for the lead, one map-side-combined hash aggregate.
+    """
+    order_cols = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    secs = TIER_SECONDS[tier]
+    tu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    end_u = (
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) + 1) * secs
+    ).cast("long") * F.lit(1_000_000)
+    scaled = df.select(
+        F.col(key_col),
+        bucket_col(ts_col, tier).alias("bucket_ts"),
+        tu.alias("_tu"),
+        end_u.alias("_end"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+        F.col(ts_col),
+    )
+    nxt = F.lead("_tu").over(w)
+    live_end = F.col("_tu") + F.lit(liveness_us).cast("long")
+    up = F.least(
+        F.coalesce(nxt, live_end), live_end, F.col("_end")
+    ) - F.col("_tu")
+    cov = F.least(F.coalesce(nxt, F.col("_end")), F.col("_end")) - F.col("_tu")
+    return (
+        scaled.withColumn("_up", up)
+        .withColumn("_cov", cov)
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.sum("_up").cast("bigint").alias("up_us"),
+            F.count(F.lit(1)).alias("n_beats"),
+            (F.sum("_cov") - F.sum("_up")).cast("bigint").alias("gap_us"),
+        )
     )
