@@ -63,6 +63,17 @@ BENCH_QUERIES = [
     "interp_linear_1h",
     "m4_daily",
     "docs_chunk_windows",
+    # late round-4 additions, one per new plan shape: sketch build +
+    # readout (hist), sketch cascade (kmv), LOCF-integral window+agg
+    # (twa; state_durations/uptime share the shape), stepped-matrix
+    # mapInPandas kernel (ewma), text-broadcast paragraph dedup,
+    # iterative integer Lloyd's (kmeans)
+    "hist_p95_1d",
+    "kmv_distinct_1d",
+    "twa_1h",
+    "ewma_events",
+    "docs_paragraph_dedup",
+    "emb_kmeans",
 ]
 
 

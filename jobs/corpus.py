@@ -61,6 +61,7 @@ from yatsm_spark.functions.textops import (  # noqa: E402
 from yatsm_spark.operators.dedup import exact_dedup, minhash_lsh_pairs  # noqa: E402
 from yatsm_spark.operators.graph import (  # noqa: E402
     neardup_clusters,
+    quality_keepers,
     release_components,
 )
 from yatsm_spark.operators.quality import repetition_stats  # noqa: E402
@@ -105,6 +106,7 @@ def clean_corpus(
     token_budget: int | None = None,
     lsh_max_bucket: int | None = None,
     minhash_hash_fn: str = "fast",
+    keeper_policy: str = "min_id",
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run stages 1-6; returns (cleaned corpus df, per-stage row counts).
 
@@ -118,7 +120,18 @@ def clean_corpus(
     reproducible — the driver's corpus_clean_e2e twin uses this).  Must
     be held CONSTANT across a corpus lifetime: catalogs store signatures
     in the chosen hash domain (see build_catalog / incremental_clean).
+
+    ``keeper_policy``: which member of a near-dup cluster survives —
+    "min_id" (default: smallest doc_id, the label itself; matches the
+    corpus_clean_e2e oracle and the incremental ledger path) or
+    "longest" (highest char count, ties to smallest id — the
+    RefinedWeb-style "keep the best copy" policy; truncated mirrors
+    drop instead of winning on url sort order).  incremental_clean
+    supports only "min_id": its catalog stores no lengths, and batch
+    equality is proven under that policy.
     """
+    if keeper_policy not in ("min_id", "longest"):
+        raise ValueError(f"unknown keeper_policy {keeper_policy!r}")
     m: dict[str, int] = {}
 
     # -- 1. canonical latest snapshot per url
@@ -145,6 +158,11 @@ def clean_corpus(
     )
     pairs = raw_pairs.filter(F.col("sig_sim") >= neardup_threshold)
     clusters = neardup_clusters(pairs)
+    if keeper_policy == "longest":
+        clusters = quality_keepers(
+            clusters, uniq.select("doc_id", F.length("text").alias("n_chars")),
+            "n_chars",
+        )
     # connected_components is EAGER (its rounds run inside the call), so
     # the pairs — and the banded-signature blocks they carry — are fully
     # consumed by here; free them before the next stage

@@ -215,3 +215,71 @@ def test_compact_catalog_behaviorally_identical(spark):
     assert key(out_full) == key(out_comp)
     assert m_full == m_comp
     out_full.unpersist(); out_comp.unpersist(); compacted.unpersist()
+
+
+def test_quality_keepers_longest_wins(spark):
+    """keeper_policy='longest': the highest-char-count cluster member
+    survives (ties -> smallest doc_id); min_id default keeps the label."""
+    from yatsm_spark.operators.graph import quality_keepers
+
+    clusters = spark.createDataFrame(
+        [
+            ("a", "a", 3, True),
+            ("b", "a", 3, False),
+            ("c", "a", 3, False),
+            ("x", "x", 2, True),
+            ("y", "x", 2, False),
+        ],
+        "doc_id string, cluster_id string, cluster_size long, is_keeper boolean",
+    )
+    scores = spark.createDataFrame(
+        [("a", 10), ("b", 99), ("c", 99), ("x", 5), ("y", 5)],
+        "doc_id string, n_chars long",
+    )
+    out = {
+        r["doc_id"]: r["is_keeper"]
+        for r in quality_keepers(clusters, scores, "n_chars").collect()
+    }
+    # cluster a: b and c tie at 99 -> smallest id b wins
+    assert out == {"a": False, "b": True, "c": False, "x": True, "y": False}
+
+
+def test_clean_corpus_longest_keeper_policy(spark):
+    """End-to-end: 'longest' keeps exactly one doc per cluster and never
+    keeps a doc shorter than another member of its cluster."""
+    from datetime import datetime, timedelta
+
+    from jobs.corpus import clean_corpus
+
+    t0 = datetime(2024, 1, 1)
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = []
+    # three near-identical docs, increasing length; url order favors the
+    # SHORTEST under min_id, so the policies must visibly differ
+    for i, reps in enumerate((6, 8, 10)):
+        rows.append(
+            (f"https://a{i}.example.com/p", t0 + timedelta(hours=i),
+             None, base * reps + f"tail {i}", "en")
+        )
+    # plus unrelated singletons so the pipeline has survivors
+    for i in range(6):
+        rows.append(
+            (f"https://s{i}.example.com/q", t0,
+             None, f"unrelated document number {i} " + " ".join(
+                 f"w{i}{j}" for j in range(30)), "en")
+        )
+    crawl = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    cleaned_min, _ = clean_corpus(crawl, max_dup_bigram_x1e4=9900)
+    cleaned_lng, _ = clean_corpus(
+        crawl, max_dup_bigram_x1e4=9900, keeper_policy="longest"
+    )
+    kept_min = {r.doc_id for r in cleaned_min.select("doc_id").collect()}
+    kept_lng = {r.doc_id for r in cleaned_lng.select("doc_id").collect()}
+    a_min = {d for d in kept_min if ".example.com/p" in d and d.startswith("https://a")}
+    a_lng = {d for d in kept_lng if ".example.com/p" in d and d.startswith("https://a")}
+    assert a_min == {"https://a0.example.com/p"}  # min id = shortest here
+    assert a_lng == {"https://a2.example.com/p"}  # longest copy survives
+    cleaned_min.unpersist()
+    cleaned_lng.unpersist()

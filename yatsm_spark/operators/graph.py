@@ -219,3 +219,40 @@ def neardup_clusters(
     # on the frame callers actually hold
     out._yatsm_ckpt_ids = getattr(cc, "_yatsm_ckpt_ids", set())  # type: ignore[attr-defined]
     return out
+
+
+def quality_keepers(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Re-pick each cluster's keeper as the member with the HIGHEST
+    ``score_col`` (ties -> smallest doc id) instead of the min-id
+    default — the RefinedWeb/Dolma "keep the best copy" policy: among
+    near-duplicates the longest / highest-quality variant survives, the
+    truncated or boilerplate-padded mirrors drop.
+
+    ``scores`` is a slim (doc_col, score_col) frame; only CLUSTERED docs
+    join (cluster membership is ~the duplicate fraction of the corpus,
+    never corpus-sized).  score must be integer-valued (length, token
+    count, an integer-x1e4 quality score) so the argmax is
+    engine/partitioning-exact.  Returns the clusters frame with
+    is_keeper recomputed; cluster_id / cluster_size unchanged — the
+    LABEL stays the min id (stable across policy changes), only the
+    SURVIVOR moves.
+
+    Scale shape: one slim equi-join + one window over cluster_id —
+    both proportional to clustered docs only.
+    """
+    joined = clusters.join(
+        scores.select(F.col(doc_col), F.col(score_col).cast("long").alias("_s")),
+        doc_col,
+    )
+    w = Window.partitionBy("cluster_id")
+    best = F.min(F.struct((-F.col("_s")).alias("ns"), F.col(doc_col).alias("kid"))).over(w)
+    out = joined.withColumn(
+        "is_keeper", F.col(doc_col) == best["kid"]
+    ).drop("_s")
+    out._yatsm_ckpt_ids = getattr(clusters, "_yatsm_ckpt_ids", set())  # type: ignore[attr-defined]
+    return out
