@@ -1184,6 +1184,48 @@ def _q_docs_paragraph_dedup(spark, sf):
     )
 
 
+def _q_funnel_vcp(spark, sf):
+    """Ordered funnel view -> click -> purchase per user (ClickHouse
+    windowFunnel semantics): one groupBy(user) + sort_array + aggregate()
+    fold; the oracle is the equivalent chained-strict-min SQL."""
+    from yatsm_spark.operators.series import funnel
+
+    return funnel(
+        _t(spark, sf, "events"), ["view", "click", "purchase"],
+        key_col="user_id", ts_col="ts",
+    )
+
+
+def _q_cohort_retention(spark, sf):
+    """Daily cohort retention matrix: users cohorted by first active day;
+    n_active distinct users per (cohort day, day offset)."""
+    from yatsm_spark.operators.series import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"), key_col="user_id", ts_col="ts", tier="1d")
+
+
+def _q_interval_purchase_after_error(spark, sf):
+    """Binned point-in-interval join: purchases landing inside the
+    [error, error+1h) window of the SAME user.  The bin equi-join keeps
+    the plan hash-join shaped (no nested-loop range join); containment
+    refines map-side."""
+    from yatsm_spark.operators.series import interval_overlap_join
+
+    ev = _t(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    return interval_overlap_join(
+        purch, errors, ts_col="ts", key_cols=("user_id",), bin_seconds=3600
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (round 4): the driver's CORRECTNESS gate checks only the
     # FIRST 50 entries, so the registry is ordered to rotate coverage.
@@ -1296,6 +1338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_neardup": _q_emb_neardup,
         "docs_hash_split": _q_docs_hash_split,
         "percentile_daily": _q_percentile_daily,
+        "funnel_view_click_purchase": _q_funnel_vcp,
+        "cohort_retention_daily": _q_cohort_retention,
+        "interval_purchase_after_error": _q_interval_purchase_after_error,
     }
 
 
@@ -2835,6 +2880,47 @@ SELECT n_id, cid AS cluster, d2 FROM (
 """
 
 
+_FUNNEL_VCP = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT s1.user_id, t1, t2, t3,
+       1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS steps_completed
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s2.user_id = s3.user_id
+"""
+
+_COHORT_RETENTION = f"""
+WITH kb AS (
+  SELECT DISTINCT user_id, {_b("ts", 86400)} AS b FROM events),
+f AS (SELECT user_id, min(b) AS cohort_ts FROM kb GROUP BY 1)
+SELECT cohort_ts,
+       CAST((epoch(b) - epoch(cohort_ts)) / 86400 AS INT) AS "offset",
+       count(*) AS n_active
+FROM kb JOIN f USING (user_id) GROUP BY 1, 2
+"""
+
+_INTERVAL_PURCHASE_AFTER_ERROR = """
+WITH err AS (
+  SELECT user_id, event_id AS error_id, ts AS start_ts,
+         ts + INTERVAL 1 HOUR AS end_ts
+  FROM events WHERE event_type = 'error'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.ts, p.user_id, err.error_id, err.start_ts, err.end_ts
+FROM p JOIN err ON p.user_id = err.user_id
+               AND err.start_ts <= p.ts AND p.ts < err.end_ts
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1h": _ROLLUP_1H,
@@ -2918,6 +3004,9 @@ def oracle_sql() -> dict[str, str]:
         "state_durations_1h": _STATE_DUR_1H,
         "uptime_1h": _UPTIME_1H,
         "kmv_distinct_1d": _KMV_DISTINCT_1D,
+        "funnel_view_click_purchase": _FUNNEL_VCP,
+        "cohort_retention_daily": _COHORT_RETENTION,
+        "interval_purchase_after_error": _INTERVAL_PURCHASE_AFTER_ERROR,
         "docs_pii_redact": _DOCS_PII,
         "docs_repetition": _DOCS_REPETITION,
         "docs_decontam": _DOCS_DECONTAM,

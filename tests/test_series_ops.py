@@ -492,3 +492,151 @@ def test_heartbeat_uptime_caps_at_bucket_end(spark):
     [r] = heartbeat_uptime(df, "1h", liveness_us=600_000_000).collect()
     assert r["up_us"] == 5 * 60_000_000
     assert r["gap_us"] == 0
+
+
+def test_funnel_hand_values(spark):
+    from datetime import datetime
+
+    from yatsm_spark.operators.series import funnel
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes in order (with noise events between)
+        (1, t(0), "view"), (1, t(1), "error"), (1, t(2), "click"),
+        (1, t(3), "view"), (1, t(4), "purchase"),
+        # u2: click BEFORE the first view never counts; no purchase
+        (2, t(0), "click"), (2, t(1), "view"), (2, t(5), "click"),
+        # u3: purchase before click -> stuck at step 1's view only
+        (3, t(0), "view"), (3, t(1), "purchase"),
+        # u4: never views -> no row at all
+        (4, t(0), "click"), (4, t(1), "purchase"),
+        # u5: simultaneous view+click at t0 -> strict > rejects the
+        # same-ts click; a later click advances
+        (5, t(0), "view"), (5, t(0), "click"), (5, t(2), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"], r["steps_completed"])
+        for r in funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1] == (t(0), t(2), t(4), 3)
+    assert out[2] == (t(1), t(5), None, 2)
+    assert out[3] == (t(0), None, None, 1)
+    assert out[5] == (t(0), t(2), None, 2)
+
+
+def test_funnel_max_span(spark):
+    from datetime import datetime
+
+    from yatsm_spark.operators.series import funnel
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [(1, t(0), "a"), (1, t(2), "b"), (1, t(30), "c"),
+            (2, t(0), "a"), (2, t(2), "b"), (2, t(4), "c")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(df, ["a", "b", "c"], max_span_seconds=600).collect()
+    }
+    # u1's c at +30min falls outside the 10-min span from t1; u2 completes
+    assert out == {1: 2, 2: 3}
+
+
+def test_cohort_retention_hand_values(spark):
+    from datetime import datetime
+
+    from yatsm_spark.operators.series import cohort_retention
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        # cohort day1: users 1,2; u1 returns day2 and day3, u2 only day3
+        (1, d(1)), (1, d(1, 5)), (1, d(2)), (1, d(3)),
+        (2, d(1)), (2, d(3)),
+        # cohort day2: user 3, returns day3
+        (3, d(2)), (3, d(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_ts"], r["offset"]): r["n_active"]
+        for r in cohort_retention(df).collect()
+    }
+    assert out == {
+        (d(1), 0): 2, (d(1), 1): 1, (d(1), 2): 2,
+        (d(2), 0): 1, (d(2), 1): 1,
+    }
+
+
+def test_interval_overlap_join_hand_values(spark):
+    from datetime import datetime
+
+    from yatsm_spark.operators.series import interval_overlap_join
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    pts = spark.createDataFrame(
+        [(1, 10, t(1, 30)), (1, 11, t(2, 0)), (2, 12, t(1, 30)), (1, 13, t(5, 0))],
+        "user_id long, point_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        # iv100 spans 3 bins; iv101 other user; end boundary EXCLUSIVE
+        [(1, 100, t(1, 0), t(3, 30)), (2, 101, t(1, 0), t(1, 45)),
+         (1, 102, t(4, 0), t(5, 0))],
+        "user_id long, iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = {
+        (r["point_id"], r["iv_id"])
+        for r in interval_overlap_join(
+            pts, ivs, ts_col="ts", key_cols=("user_id",), bin_seconds=3600
+        ).collect()
+    }
+    # point 13 at 5:00 is NOT in [4:00, 5:00) — end exclusive
+    assert out == {(10, 100), (11, 100), (12, 101)}
+    # left join preserves the unmatched point with null interval cols
+    left = interval_overlap_join(
+        pts, ivs, ts_col="ts", key_cols=("user_id",), bin_seconds=3600, how="left"
+    )
+    rows = {(r["point_id"], r["iv_id"]) for r in left.collect()}
+    assert rows == {(10, 100), (11, 100), (12, 101), (13, None)}
+
+
+def test_interval_overlap_join_guard_raises(spark):
+    from datetime import datetime
+
+    from pyspark.errors import PySparkException
+
+    from yatsm_spark.operators.series import interval_overlap_join
+
+    pts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1))], "user_id long, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2024, 3, 1))],
+        "user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(PySparkException):
+        interval_overlap_join(
+            pts, ivs, key_cols=("user_id",), bin_seconds=3600,
+            max_bins_per_interval=100,
+        ).collect()
+
+
+def test_interval_overlap_join_plan_is_equi_join(spark):
+    """Scale contract: the binned form must plan a hash/sort-merge
+    equi-join on (key, bin) — never a nested-loop range join."""
+    from datetime import datetime
+
+    from yatsm_spark.operators.series import interval_overlap_join
+
+    pts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1))], "user_id long, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2024, 1, 1, 2))],
+        "user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    plan = (
+        interval_overlap_join(pts, ivs, key_cols=("user_id",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1026,3 +1026,216 @@ def heartbeat_uptime(
             (F.sum("_cov") - F.sum("_up")).cast("bigint").alias("gap_us"),
         )
     )
+
+
+def interval_overlap_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    key_cols: tuple[str, ...] = (),
+    bin_seconds: int = 3600,
+    max_bins_per_interval: int = 10_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join, binned so it stays an EQUI-join at scale:
+    every point falls in exactly one ``bin_seconds`` time bin; every
+    interval is exploded into the bins it overlaps; the join key is
+    (*key_cols, bin) and the half-open containment ``start <= ts < end``
+    refines map-side after the hash join.
+
+    A naive range join is O(points x intervals) (BroadcastNestedLoop /
+    CartesianProduct — the shape every plan test in this repo bans);
+    binning bounds the work by per-bin population.  No post-dedup is
+    needed: a point has ONE bin, and an interval appears at most once
+    per bin, so each (point, interval) containment emits exactly once.
+
+    Cost model: interval rows multiply by ceil(span / bin_seconds) —
+    pick ``bin_seconds`` near the TYPICAL interval span so the explode
+    factor is ~2 and the per-bin population stays shuffle-partition
+    sized.  A degenerate interval (span >> bin) fails LOUDLY via the
+    ``max_bins_per_interval`` assert instead of silently exploding.
+
+    ``how``: "inner" keeps matched pairs; "left" preserves unmatched
+    points with null interval columns (one row per unmatched point).
+    Interval column names must not collide with point columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r}")
+    pb = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(ts_col)) / bin_seconds)
+    )
+    seq = F.sequence(
+        F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds),
+        # end is EXCLUSIVE: an interval ending exactly on a bin edge does
+        # not reach into that bin
+        F.floor(
+            (F.unix_timestamp(F.col(end_col)) - F.lit(1)) / F.lit(bin_seconds)
+        ),
+    )
+    ib = intervals.withColumn(
+        "_ibin",
+        F.explode(
+            F.when(
+                F.size(seq) <= max_bins_per_interval, seq
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "interval spans more than %d bins of %ds — raise "
+                        "bin_seconds or split the interval",
+                        F.lit(max_bins_per_interval),
+                        F.lit(bin_seconds),
+                    )
+                )
+            )
+        ),
+    )
+    # explicit aliases: points and intervals are often derived from the
+    # SAME source frame, where bare key references resolve ambiguously
+    # (Spark would warn "trivially true equals predicate")
+    pb, ib = pb.alias("_pts"), ib.alias("_ivl")
+    cond = (F.col("_pts._bin") == F.col("_ivl._ibin")) & (
+        (
+            F.unix_timestamp(F.col(f"_ivl.{start_col}"))
+            <= F.unix_timestamp(F.col(f"_pts.{ts_col}"))
+        )
+        & (
+            F.unix_timestamp(F.col(f"_pts.{ts_col}"))
+            < F.unix_timestamp(F.col(f"_ivl.{end_col}"))
+        )
+    )
+    for k in key_cols:
+        cond = cond & (F.col(f"_pts.{k}") == F.col(f"_ivl.{k}"))
+    ivl_keep = [
+        c for c in intervals.columns if c not in key_cols
+    ]
+    return pb.join(ib, cond, how).select(
+        *[F.col(f"_pts.{c}") for c in points.columns],
+        *[F.col(f"_ivl.{c}") for c in ivl_keep],
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis (ClickHouse windowFunnel semantics, exact):
+    for each key, the earliest greedy completion of ``steps`` — t1 = the
+    key's first step-1 event, t_i = its first step-i event STRICTLY after
+    t_{i-1} (and, with ``max_span_seconds``, within that span of t1).
+
+    One shuffle: groupBy(key) collects each key's step events as
+    (ts, step_idx) structs, sort_array orders them, and a single
+    aggregate() fold advances the step cursor — per-key state is just
+    the n step times, so memory is O(steps), never O(events), and the
+    pre-aggregation filter keeps only rows whose type IS a step.
+    Greedy-earliest is exactly the chained form ``t_i = min(ts) where
+    type = step_i and ts > t_{i-1}`` (the SQL oracle shape) — proven
+    equal by the driver twin.
+
+    Returns one row per key that completed step 1: (key, t1..tn
+    timestamps, steps_completed).  Deterministic: ties inside one
+    timestamp resolve by step index (a simultaneous step-1/step-2 pair
+    advances step 1 first, and the strict > then rejects the same-ts
+    step 2 — matching the strict chained-min semantics).
+    """
+    n = len(steps)
+    if n < 1:
+        raise ValueError("funnel needs at least one step")
+    idx = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        idx = F.when(F.col(type_col) == F.lit(s), F.lit(n - 1 - i)).otherwise(idx)
+    evs = (
+        df.select(
+            F.col(key_col),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_tu"),
+            idx.alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .groupBy(key_col)
+        .agg(F.sort_array(F.collect_list(F.struct("_tu", "_s"))).alias("_evs"))
+    )
+    span_ok = (
+        (lambda acc, e: F.lit(True))
+        if max_span_seconds is None
+        else (
+            lambda acc, e: e["_tu"] - acc[0]
+            <= F.lit(int(max_span_seconds) * 1_000_000)
+        )
+    )
+
+    def fold(acc, e):
+        n_done = F.size(F.filter(acc, lambda x: x >= 0))
+        # NB: boolean ops do not short-circuit in Spark, and ANSI mode
+        # makes element_at(acc, 0) an error — clamp the index to 1 (the
+        # clamped read is dead: n_done==0 already satisfies the OR)
+        prev_t = F.element_at(acc, F.greatest(n_done, F.lit(1)))
+        qualifies = (
+            (e["_s"] == n_done)
+            & ((n_done == 0) | (e["_tu"] > prev_t))
+            & ((n_done == 0) | span_ok(acc, e))
+        )
+        advanced = F.concat(
+            F.slice(acc, 1, n_done),
+            F.array(e["_tu"]),
+            F.array_repeat(F.lit(-1).cast("long"), (F.lit(n - 1) - n_done).cast("int")),
+        )
+        return F.when(qualifies, advanced).otherwise(acc)
+
+    times = F.aggregate(
+        F.col("_evs"),
+        F.array_repeat(F.lit(-1).cast("long"), n),
+        fold,
+    )
+    out = evs.select(F.col(key_col), times.alias("_t")).filter(
+        F.element_at("_t", 1) >= 0
+    )
+    cols = [F.col(key_col)]
+    for i in range(n):
+        t = F.element_at("_t", i + 1)
+        cols.append(
+            F.when(t >= 0, F.timestamp_micros(t)).alias(f"t{i + 1}")
+        )
+    cols.append(
+        F.size(F.filter("_t", lambda x: x >= 0)).alias("steps_completed")
+    )
+    return out.select(*cols)
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tier: str = "1d",
+) -> DataFrame:
+    """Cohort retention matrix: keys are cohorted by their FIRST active
+    ``tier`` bucket; for each (cohort bucket, bucket offset) count the
+    distinct keys active then.  offset 0 row = cohort size.
+
+    Scale shape: (1) distinct (key, bucket) — one shuffle, shrinks the
+    input to active-key-buckets before anything joins; (2) per-key min
+    over that SAME keyed frame (groupBy key — co-partitioned with (1)'s
+    output, AQE reuses the layout); (3) equi-join on key; (4) count by
+    (cohort, offset) — keys are already distinct per bucket, so a plain
+    count(*) is the distinct-user count, no expensive count-distinct.
+    """
+    secs = TIER_SECONDS[tier]
+    kb = df.select(
+        F.col(key_col).alias("_k"), bucket_col(ts_col, tier).alias("_b")
+    ).distinct()
+    first = kb.groupBy("_k").agg(F.min("_b").alias("cohort_ts"))
+    return (
+        kb.join(first, "_k")
+        .groupBy(
+            "cohort_ts",
+            (
+                (F.unix_timestamp("_b") - F.unix_timestamp("cohort_ts")) / secs
+            ).cast("int").alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
