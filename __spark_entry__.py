@@ -1251,15 +1251,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kmv_distinct_1d / docs_paragraph_dedup / emb_kmeans)
     # docs_text_quality, docs_lang_id, docs_simhash32, emb_norms,
     # emb_ann_topk, docs_pii_redact, docs_decontam — all r3 driver-green
-    # with code untouched this round.  See COVERAGE.md for the matrix.
+    # with code untouched this round, and (making room for the analytics
+    # trio funnel_view_click_purchase / cohort_retention_daily /
+    # interval_purchase_after_error, whose funnel kernel was REWRITTEN
+    # late in the round) gap_fill_1h, locf_1h, docs_jaccard_pairs — all
+    # triple-green r1-r3, tier/jaccard code untouched this round.
+    # See COVERAGE.md for the matrix.
     return {
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
         "cascade_30d": _q_cascade_30d,
         "retention_1h": _q_retention_1h,
         "incr_merge_1h": _q_incr_merge_1h,
-        "gap_fill_1h": _q_gap_fill_1h,
-        "locf_1h": _q_locf_1h,
+        "funnel_view_click_purchase": _q_funnel_vcp,
+        "cohort_retention_daily": _q_cohort_retention,
+        "interval_purchase_after_error": _q_interval_purchase_after_error,
         "interp_linear_1h": _q_interp_linear_1h,
         "m4_daily": _q_m4_daily,
         "docs_chunk_windows": _q_docs_chunk_windows,
@@ -1276,7 +1282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uptime_1h": _q_uptime_1h,
         "docs_paragraph_dedup": _q_docs_paragraph_dedup,
         "emb_kmeans": _q_emb_kmeans,
-        "docs_jaccard_pairs": _q_docs_jaccard,
         "docs_minhash_sigs": _q_docs_minhash,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
@@ -1338,9 +1343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_neardup": _q_emb_neardup,
         "docs_hash_split": _q_docs_hash_split,
         "percentile_daily": _q_percentile_daily,
-        "funnel_view_click_purchase": _q_funnel_vcp,
-        "cohort_retention_daily": _q_cohort_retention,
-        "interval_purchase_after_error": _q_interval_purchase_after_error,
+        "gap_fill_1h": _q_gap_fill_1h,
+        "locf_1h": _q_locf_1h,
+        "docs_jaccard_pairs": _q_docs_jaccard,
     }
 
 

@@ -74,8 +74,8 @@ BENCH_QUERIES = [
     "ewma_events",
     "docs_paragraph_dedup",
     "emb_kmeans",
-    # product-analytics family: ordered-funnel fold (collect_list +
-    # aggregate), binned point-in-interval equi-join
+    # product-analytics family: ordered funnel (per-step arrays +
+    # chained first-match), binned point-in-interval equi-join
     "funnel_view_click_purchase",
     "interval_purchase_after_error",
 ]
