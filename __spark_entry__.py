@@ -1146,6 +1146,42 @@ def _q_uptime_1h(spark, sf):
     return heartbeat_uptime(_t(spark, sf, "events"), "1h", order_tiebreak="event_id")
 
 
+def _q_hampel_12(spark, sf):
+    """Hampel filter: rolling-median/MAD anomaly flags (trailing 12 obs,
+    k=3, min 8 obs) — the robust sibling of anomaly_zscore_24; lower
+    median + MAD in pure bigint, no division anywhere."""
+    from yatsm_spark.operators.series import hampel_flags
+
+    return hampel_flags(_t(spark, sf, "events"), order_tiebreak="event_id")
+
+
+def _q_wau_7d(spark, sf):
+    """Rolling active users: per observed day, exact DAU next to exact
+    trailing-7-day distinct users (WAU) via offset-explode on the
+    deduped (user, day) frame — sliding distinct without a range join."""
+    from yatsm_spark.operators.series import rolling_active
+
+    return rolling_active(_t(spark, sf, "events"), days=7)
+
+
+def _q_cm_topk_1d(spark, sf):
+    """Count-min heavy-hitter tier: 1h CM counter matrices cascade
+    cell-wise to 1d; per-(event_type, day) top-5 users by CM estimate
+    over the union of exact per-hour top-8 candidates.  The oracle
+    re-derives cells + probes from RAW events, so a green row proves
+    the counter-matrix merge exact."""
+    from yatsm_spark.operators.sketch import (
+        cm_candidates,
+        cm_cascade,
+        cm_sketch,
+        cm_topk,
+    )
+
+    ev = _t(spark, sf, "events")
+    sk1d = cm_cascade(cm_sketch(ev, "1h"), "1d")
+    return cm_topk(sk1d, cm_candidates(ev, "1h", m=8), "1d", topk=5)
+
+
 def _q_emb_kmeans(spark, sf):
     """Deterministic distributed k-means: Lloyd's run entirely in integer
     micro-units (integer squared-L2 argmin assignment, pmod-exact
@@ -1255,14 +1291,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # trio funnel_view_click_purchase / cohort_retention_daily /
     # interval_purchase_after_error, whose funnel kernel was REWRITTEN
     # late in the round) gap_fill_1h, locf_1h, docs_jaccard_pairs — all
-    # triple-green r1-r3, tier/jaccard code untouched this round.
+    # triple-green r1-r3, tier/jaccard code untouched this round, and
+    # (making room for the NEW ops hampel_12 / wau_7d / cm_topk_1d)
+    # cascade_30d, retention_1h, incr_merge_1h — triple-green r1-r3,
+    # rollup.py tier code untouched this round, and cascade_1d stays
+    # inside the window as the cascade family's sentinel.
     # See COVERAGE.md for the matrix.
     return {
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
-        "cascade_30d": _q_cascade_30d,
-        "retention_1h": _q_retention_1h,
-        "incr_merge_1h": _q_incr_merge_1h,
+        "hampel_12": _q_hampel_12,
+        "wau_7d": _q_wau_7d,
+        "cm_topk_1d": _q_cm_topk_1d,
         "funnel_view_click_purchase": _q_funnel_vcp,
         "cohort_retention_daily": _q_cohort_retention,
         "interval_purchase_after_error": _q_interval_purchase_after_error,
@@ -1310,6 +1350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccdc_classify_synth": _classify_synth,
         # ---- below the driver's 50-query window (full-registry coverage
         # via scripts/check_oracle.py; all driver-green in r1-r3) ----
+        "cascade_30d": _q_cascade_30d,
+        "retention_1h": _q_retention_1h,
+        "incr_merge_1h": _q_incr_merge_1h,
         "ohlc_daily": _q_ohlc_daily,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_text_quality": _q_docs_quality,
@@ -2925,6 +2968,97 @@ FROM p JOIN err ON p.user_id = err.user_id
                AND err.start_ts <= p.ts AND p.ts < err.end_ts
 """
 
+# hampel_12: the identical lower-median / MAD algebra replayed on the
+# list() window (NULL on the empty frame — coalesce to 0 like Spark's
+# empty collect_list).  All bigint; DuckDB lists are 1-based like
+# element_at.
+_HAMPEL_12 = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_u
+  FROM events),
+w AS (
+  SELECT user_id, ts, event_id, value_u, list(value_u) OVER win AS arr
+  FROM v
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
+m AS (
+  SELECT *, coalesce(len(arr), 0)::BIGINT AS n_win,
+         CASE WHEN len(arr) > 0
+              THEN list_sort(arr)[(len(arr) + 1) // 2] END AS med
+  FROM w),
+d AS (
+  SELECT *, CASE WHEN n_win > 0
+                 THEN list_sort(list_transform(arr, x -> abs(x - med)))
+                      [(n_win + 1) // 2] END AS mad
+  FROM m)
+SELECT user_id, ts, event_id, value_u, n_win,
+       CASE WHEN n_win >= 8 AND abs(value_u - med) > 3 * mad
+            THEN 1 ELSE 0 END AS is_anom
+FROM d
+"""
+
+# wau_7d: trailing-7-day exact distinct actives per observed day — the
+# same offset-explode membership construction (a (user, day) activity
+# row belongs to the 7 windows that contain it).
+_WAU_7D = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {_b("ts", 86400)} AS d FROM events),
+offs AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS o),
+tgt AS (
+  SELECT DISTINCT ud.user_id,
+         make_timestamp((CAST(epoch(ud.d) AS BIGINT) + o.o * 86400) * 1000000) AS d
+  FROM ud, offs o),
+a7 AS (SELECT d, count(*)::BIGINT AS active_7d FROM tgt GROUP BY 1),
+a1 AS (SELECT d, count(*)::BIGINT AS active_1d FROM ud GROUP BY 1)
+SELECT a1.d AS bucket_ts, a1.active_1d, a7.active_7d
+FROM a1 JOIN a7 USING (d)
+"""
+
+# cm_topk_1d: re-derive the count-min algebra from RAW events — per-day
+# cells at column hash_r(item) % 64 for r in 0..3, exact per-hour top-8
+# candidates, estimate = min over rows, rank (est desc, item asc) <= 5.
+# A green row proves the 1h->1d counter-matrix MERGE exact (the oracle
+# never builds the intermediate tier).
+_CM_TOPK_1D = f"""
+WITH cnt1h AS (
+  SELECT event_type, {_b("ts", 3600)} AS b1h,
+         CAST(user_id AS VARCHAR) AS item, count(*) AS c
+  FROM events GROUP BY 1, 2, 3),
+cand AS (
+  SELECT DISTINCT event_type, {_b("b1h", 86400)} AS bucket_ts, item
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, b1h
+                                     ORDER BY c DESC, item) AS rn
+        FROM cnt1h)
+  WHERE rn <= 8),
+cntd AS (
+  SELECT event_type, {_b("ts", 86400)} AS bucket_ts,
+         CAST(user_id AS VARCHAR) AS item, count(*) AS c
+  FROM events GROUP BY 1, 2, 3),
+cells AS (
+  SELECT event_type, bucket_ts, r.r AS r,
+         CAST(('0x' || substr(md5(item || '#' || r.r), 1, 8)) AS BIGINT) % 64
+           AS cidx,
+         sum(c)::BIGINT AS cell
+  FROM cntd, (SELECT unnest([0, 1, 2, 3]) AS r) r
+  GROUP BY 1, 2, 3, 4),
+est AS (
+  SELECT cd.event_type, cd.bucket_ts, cd.item, min(cl.cell)::BIGINT AS est_cnt
+  FROM cand cd
+  JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rr ON true
+  JOIN cells cl
+    ON cl.event_type = cd.event_type AND cl.bucket_ts = cd.bucket_ts
+   AND cl.r = rr.r
+   AND cl.cidx = CAST(('0x' || substr(md5(cd.item || '#' || rr.r), 1, 8))
+                      AS BIGINT) % 64
+  GROUP BY 1, 2, 3),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, bucket_ts
+                               ORDER BY est_cnt DESC, item) AS rk
+  FROM est)
+SELECT event_type, bucket_ts, item, est_cnt, rk FROM rk WHERE rk <= 5
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -3009,6 +3143,9 @@ def oracle_sql() -> dict[str, str]:
         "state_durations_1h": _STATE_DUR_1H,
         "uptime_1h": _UPTIME_1H,
         "kmv_distinct_1d": _KMV_DISTINCT_1D,
+        "hampel_12": _HAMPEL_12,
+        "wau_7d": _WAU_7D,
+        "cm_topk_1d": _CM_TOPK_1D,
         "funnel_view_click_purchase": _FUNNEL_VCP,
         "cohort_retention_daily": _COHORT_RETENTION,
         "interval_purchase_after_error": _INTERVAL_PURCHASE_AFTER_ERROR,

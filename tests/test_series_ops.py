@@ -663,3 +663,77 @@ def test_funnel_plan_is_single_shuffle_no_fold(spark):
     optimized = qe.optimizedPlan().toString()
     assert "array_min(filter(" in optimized
     assert "aggregate(" not in optimized
+
+
+def test_hampel_hand_values_and_robustness(spark):
+    """The Hampel flag catches a spike the z-score MISSES when a prior
+    outlier sits in the baseline (masking) — the reason the robust
+    variant exists — and the median/MAD arithmetic is pinned by hand."""
+    from datetime import datetime, timedelta
+
+    from yatsm_spark.operators.series import anomaly_zscore, hampel_flags
+
+    t0 = datetime(2024, 1, 1)
+    # 9 flat obs at 10, one huge outlier (1000), then a modest spike 40.
+    vals = [10.0] * 9 + [1000.0, 40.0]
+    rows = [(1, t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    h = {r["ts"]: r for r in
+         hampel_flags(df, window=10, min_obs=8, k=3).collect()}
+    z = {r["ts"]: r for r in
+         anomaly_zscore(df, window=10, min_obs=8, k=3).collect()}
+    t_spike = t0 + timedelta(hours=10)
+    # baseline for the spike holds the 1000: median 10, MAD 0 -> hampel
+    # flags (|40-10| > 0); the z-score baseline has sd ~ 313 -> missed.
+    assert h[t_spike]["is_anom"] == 1
+    assert z[t_spike]["is_anom"] == 0
+    # the outlier itself flags under both
+    t_out = t0 + timedelta(hours=9)
+    assert h[t_out]["is_anom"] == 1 and z[t_out]["is_anom"] == 1
+    # short baseline -> no flag; empty window -> n_win 0, no error
+    assert h[t0 + timedelta(hours=5)]["is_anom"] == 0
+    assert h[t0]["n_win"] == 0 and h[t0]["is_anom"] == 0
+
+
+def test_hampel_lower_median_even_window(spark):
+    """Even-sized baseline uses the LOWER median (no fractional mean):
+    window [10, 20] -> med 10, devs [0, 10] -> MAD 0; x=31 flags
+    (|31-10| > 3*0) while x=10 does not."""
+    from datetime import datetime, timedelta
+
+    from yatsm_spark.operators.series import hampel_flags
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0, 10.0), (1, t0 + timedelta(hours=1), 20.0),
+            (1, t0 + timedelta(hours=2), 31.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["ts"]: r for r in
+           hampel_flags(df, window=4, min_obs=2, k=3).collect()}
+    r = out[t0 + timedelta(hours=2)]
+    assert r["n_win"] == 2 and r["is_anom"] == 1
+
+
+def test_rolling_active_hand_values(spark):
+    """WAU counts each user ONCE per trailing window however many days
+    they were active; observed-days-only output."""
+    from datetime import datetime, timedelta
+
+    from yatsm_spark.operators.series import rolling_active
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1 active days 0,1,2; user 2 active day 0 only; user 3 day 9
+    for d in (0, 1, 2):
+        rows.append((1, t0 + timedelta(days=d, hours=5), 1.0))
+    rows.append((2, t0 + timedelta(hours=6), 1.0))
+    rows.append((3, t0 + timedelta(days=9), 1.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["bucket_ts"]: r for r in rolling_active(df, days=7).collect()}
+    assert set(out) == {t0, t0 + timedelta(days=1), t0 + timedelta(days=2),
+                        t0 + timedelta(days=9)}
+    assert out[t0]["active_1d"] == 2 and out[t0]["active_7d"] == 2
+    # day 2: users 1 (multi-day, counted once) + 2 (still in window)
+    assert out[t0 + timedelta(days=2)]["active_1d"] == 1
+    assert out[t0 + timedelta(days=2)]["active_7d"] == 2
+    # day 9: window [3..9] holds only user 3
+    assert out[t0 + timedelta(days=9)]["active_7d"] == 1

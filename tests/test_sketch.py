@@ -116,3 +116,81 @@ def test_kmv_estimator_accuracy(spark):
     got = kmv_estimate(kmv_sketch(_kmv_events(spark, rows), "1d", k=256), k=256).first()
     assert got["sketch_size"] == 256
     assert abs(got["ndv_est"] - n) / n < 0.25
+
+
+def _typed_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, user_id long"
+    )
+
+
+def test_cm_cascade_equals_direct_build(spark):
+    """Counter matrices add cell-wise: 1h sketches merged to 1d equal a
+    1d sketch built directly from raw — the mergeability contract."""
+    from yatsm_spark.operators.sketch import cm_cascade, cm_sketch
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("click" if i % 3 else "view", t0 + timedelta(minutes=13 * i),
+         (i * 7919 + 31) % 40)
+        for i in range(600)
+    ]
+    ev = _typed_events(spark, rows)
+    a = sorted(map(tuple, cm_cascade(cm_sketch(ev, "1h"), "1d").collect()))
+    b = sorted(map(tuple, cm_sketch(ev, "1d").collect()))
+    assert a == b and len(a) >= 2
+
+
+def test_cm_estimate_upper_bounds_true_count(spark):
+    """The CM guarantee: every probe's estimate >= the item's true count
+    (collisions only ever ADD) — checked for every candidate at a width
+    small enough (8) to force collisions."""
+    from yatsm_spark.operators.series import bucket_col
+    from yatsm_spark.operators.sketch import cm_candidates, cm_sketch, cm_topk
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("view", t0 + timedelta(seconds=97 * i), (i * i + 7 * i) % 30)
+        for i in range(500)
+    ]
+    ev = _typed_events(spark, rows)
+    sk = cm_sketch(ev, "1d", depth=4, width=8)
+    cand = cm_candidates(ev, "1h", m=8)
+    got = cm_topk(sk, cand, "1d", topk=30, depth=4, width=8).collect()
+    true = {
+        (r["event_type"], r["bucket_ts"], r["item"]): r["c"]
+        for r in ev.groupBy(
+            "event_type",
+            bucket_col("ts", "1d").alias("bucket_ts"),
+            ev.user_id.cast("string").alias("item"),
+        )
+        .count()
+        .withColumnRenamed("count", "c")
+        .collect()
+    }
+    assert len(got) > 5
+    for r in got:
+        key = (r["event_type"], r["bucket_ts"], r["item"])
+        assert r["est_cnt"] >= true[key]
+
+
+def test_cm_topk_exact_when_width_ample(spark):
+    """With width >> distinct items there are no collisions, so the CM
+    top-k IS the exact top-k (count desc, item asc) — pins estimator
+    and ranking determinism in one shot."""
+    from yatsm_spark.operators.sketch import cm_candidates, cm_sketch, cm_topk
+
+    t0 = datetime(2024, 1, 1)
+    # item i appears (10 - i) times -> exact top-3 is items 0,1,2
+    rows = [
+        ("view", t0 + timedelta(seconds=60 * i + j), i)
+        for i in range(10)
+        for j in range(10 - i)
+    ]
+    ev = _typed_events(spark, rows)
+    sk = cm_sketch(ev, "1d", depth=4, width=512)
+    top = cm_topk(sk, cm_candidates(ev, "1h", m=10), "1d", topk=3,
+                  depth=4, width=512).collect()
+    got = [(r["item"], r["est_cnt"], r["rk"]) for r in
+           sorted(top, key=lambda r: r["rk"])]
+    assert got == [("0", 10, 1), ("1", 9, 2), ("2", 8, 3)]

@@ -1237,3 +1237,139 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def hampel_flags(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+    window: int = 12,
+    min_obs: int = 8,
+    k: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hampel filter: rolling-MEDIAN anomaly flags per series — an
+    observation is anomalous when it sits more than ``k`` median
+    absolute deviations (MAD) from the median of its own trailing
+    ``window`` observations (current point excluded, like
+    :func:`anomaly_zscore`).  The robust sibling of the z-score flag:
+    a level shift or a burst of prior outliers inflates a mean/stddev
+    baseline and masks the next outlier; the median/MAD baseline has a
+    50% breakdown point (Hampel 1974; the standard robust-metrics
+    recipe, e.g. pandas/TimescaleDB Hampel implementations).
+
+    Exactness: values scale to integer micro-units; median is the LOWER
+    median element_at(sorted, (n+1) div 2) and MAD the lower median of
+    |x - med| — all bigint, no division anywhere, so flags are engine-,
+    partitioning- and cluster-size-exact and the DuckDB oracle replays
+    them bit-for-bit (list() window + list_sort).  A zero-MAD baseline
+    (majority-constant window) flags exactly when x differs from the
+    median — same convention as the zero-variance z-score case.
+
+    Returns (key, ts[, tiebreak], value_u, n_win, is_anom); is_anom = 0
+    below ``min_obs`` baseline points.
+
+    Scale shape (100 TB): ONE window exchange+sort on the key — the
+    anomaly_zscore profile — plus O(window log window) per-row array
+    work inside codegen (collect over the frame is bounded by
+    ``window``, a config constant, never by data volume).  On the
+    key-bucketed presorted layout the exchange vanishes.
+    """
+    order_cols = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, -1)
+    )
+    vu = F.floor(F.col(value_col) * scale).cast("long")
+    arr = F.sort_array(F.collect_list("_vu").over(w))
+    base = df.select(
+        F.col(key_col), F.col(ts_col), vu.alias("_vu"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+    ).select(
+        key_col,
+        ts_col,
+        *([order_tiebreak] if order_tiebreak else []),
+        F.col("_vu"),
+        arr.alias("_arr"),
+    )
+    n = F.size("_arr").cast("long")
+    med_ix = _lower_median_ix(n)
+    # element_at(arr, 0) errors on empty windows (first rows per key) —
+    # guard with CaseWhen, which evaluates only the taken branch.
+    med = F.when(n > 0, F.element_at("_arr", med_ix.cast("int")))
+    dev = F.array_sort(F.transform("_arr", lambda x: F.abs(x - med)))
+    mad = F.when(n > 0, F.element_at(dev, med_ix.cast("int")))
+    flag = (
+        (n >= min_obs) & (F.abs(F.col("_vu") - med) > F.lit(k) * mad)
+    ).cast("int")
+    return base.select(
+        key_col,
+        ts_col,
+        *([order_tiebreak] if order_tiebreak else []),
+        F.col("_vu").alias("value_u"),
+        n.alias("n_win"),
+        F.when(n >= min_obs, flag).otherwise(F.lit(0)).alias("is_anom"),
+    )
+
+
+def _lower_median_ix(n: F.Column) -> F.Column:
+    """(n+1) div 2 as exact bigint floor-div (1-based lower median)."""
+    np1 = n + F.lit(1).cast("long")
+    return ((np1 - F.pmod(np1, F.lit(2))) / F.lit(2)).cast("long")
+
+
+def rolling_active(
+    df: DataFrame,
+    days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling active users: for every OBSERVED day, the exact distinct
+    user count over the trailing ``days``-day window (WAU at days=7,
+    MAU at 30) next to that day's exact DAU — the product-analytics
+    stickiness pair (DAU/WAU).  Sliding distinct does not decompose
+    into per-day aggregates (a user active twice in the window counts
+    once), and Spark windows cannot range-frame COUNT DISTINCT; the
+    scalable form is offset-explode: each (user, day) activity row
+    contributes membership to the ``days`` target windows that contain
+    it, then one exact distinct count per target day.
+
+    Returns (bucket_ts, active_1d, active_7d-style column named
+    active_nd) for observed days only (a day with zero events emits no
+    row — gap_fill composes on top if a dense calendar is wanted).
+
+    Scale shape (100 TB): dedup to (user, day) FIRST — map-side combine
+    absorbs the raw event volume, and everything after runs on
+    |users| x |days| rows; the explode is a narrow x``days``
+    multiplier on that already-tiny frame, and the final count is one
+    hash aggregate per target day.  No range join, no window over the
+    full event stream.
+    """
+    day = bucket_col(ts_col, "1d").alias("bucket_ts")
+    ud = df.select(F.col(user_col).alias("_u"), day).distinct()
+    a1 = ud.groupBy("bucket_ts").agg(F.count(F.lit(1)).alias("active_1d"))
+    tgt = (
+        ud.select(
+            "_u",
+            F.explode(F.sequence(F.lit(0), F.lit(days - 1))).alias("_o"),
+            F.col("bucket_ts"),
+        )
+        .select(
+            "_u",
+            F.timestamp_seconds(
+                F.unix_timestamp("bucket_ts") + F.col("_o").cast("long") * 86400
+            ).alias("bucket_ts"),
+        )
+        .distinct()
+    )
+    an = tgt.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).alias(f"active_{days}d")
+    )
+    return a1.join(an, "bucket_ts", "inner").select(
+        "bucket_ts", "active_1d", f"active_{days}d"
+    )

@@ -306,3 +306,229 @@ def kmv_estimate(sketch: DataFrame, k: int = 32) -> DataFrame:
         .alias("ndv_est"),
         F.size("kmv").cast("long").alias("sketch_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch tier: heavy hitters / frequent items
+# ---------------------------------------------------------------------------
+
+
+def cm_sketch(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Per-(key, tier-bucket) count-min sketch (Cormode & Muthukrishnan
+    2005): a depth x width counter matrix where row r adds each item's
+    count at column portable_hash(item, salt=r) % width.  Frequent-items
+    is the THIRD non-algebraic aggregate family (after percentiles /
+    hist_sketch and distinct / kmv_sketch) that the exact tier cascade
+    cannot carry — a 1d top-k is not derivable from 1h top-ks (an item
+    can be second everywhere yet first overall).  Like its siblings the
+    tier stores the mergeable sufficient statistic: counter matrices add
+    cell-wise, so 1h -> 1d -> 30d merges are EXACT (the merged matrix
+    equals the directly-built one) and raw data can age out while coarse
+    tiers still answer frequency queries.
+
+    Returns (key, bucket_ts, idx: array<bigint> ascending, cnt:
+    array<bigint>, total) — SPARSE form: only occupied cells ship, one
+    slim (int, long) pair each, with idx = r * width + column.  total is
+    the bucket's observation count (sum of any row = total; recovered as
+    sum(cnt) / depth, exactly divisible by construction).
+
+    Scale notes (100 TB design):
+      * Counting first on (key, bucket, item) gives map-side partial
+        aggregation the duplicate traffic (the dominant volume — web
+        items repeat); the depth-way explode then multiplies DISTINCT
+        items only, and the second aggregate shuffles at most
+        depth * width slim cells per (key, bucket).
+      * cm_cascade touches sketch rows only — the 30d heavy-hitter
+        query never re-reads the raw tier.
+      * Estimates are deterministic upper bounds (est >= true count,
+        error <= total/width per extra colliding item) — the classic
+        CM guarantee; the readout replays in pure integer arithmetic,
+        so cascaded and direct tiers hash-match and the DuckDB oracle
+        re-derives the identical cells from RAW rows.
+
+    Reference analog: none — YATSM has no rollup surface [U]; this
+    completes the north_star retention-tier story (BASELINE.json:6) for
+    the frequent-items family.
+    """
+    from yatsm_spark.functions.textops import portable_hash64
+
+    item = F.col(item_col).cast("string")
+    per_item = (
+        df.groupBy(
+            F.col(key_col),
+            bucket_col(ts_col, tier).alias("bucket_ts"),
+            item.alias("_it"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    idxs = F.array(
+        *[
+            F.lit(r * width).cast("long")
+            + F.pmod(portable_hash64(F.col("_it"), salt=r), F.lit(width))
+            for r in range(depth)
+        ]
+    )
+    cells = (
+        per_item.select(
+            key_col, "bucket_ts", F.col("c"), F.explode(idxs).alias("idx")
+        )
+        .groupBy(key_col, "bucket_ts", "idx")
+        .agg(F.sum("c").alias("c"))
+    )
+    return _cm_collect(cells, key_col, depth)
+
+
+def _cm_collect(cells: DataFrame, key_col: str, depth: int) -> DataFrame:
+    """(key, bucket_ts, idx, c) cells -> canonical sparse sketch rows."""
+    pairs = F.sort_array(F.collect_list(F.struct("idx", "c")))
+    return (
+        cells.groupBy(key_col, "bucket_ts")
+        .agg(pairs.alias("_p"))
+        .select(
+            key_col,
+            "bucket_ts",
+            F.col("_p.idx").alias("idx"),
+            F.col("_p.c").alias("cnt"),
+            _fld(
+                F.aggregate(
+                    "_p", F.lit(0).cast("long"), lambda acc, x: acc + x["c"]
+                ),
+                F.lit(depth).cast("long"),
+            ).alias("total"),
+        )
+    )
+
+
+def cm_cascade(
+    sketch: DataFrame, tier: str, key_col: str = "event_type", depth: int = 4
+) -> DataFrame:
+    """Re-aggregate a finer count-min tier to ``tier`` — exact merge
+    (counter matrices add cell-wise; same argument as hist_cascade).
+    Touches only sketch rows; output schema matches :func:`cm_sketch`,
+    so tiers cascade indefinitely after raw age-out.
+    """
+    exploded = sketch.select(
+        F.col(key_col),
+        bucket_col("bucket_ts", tier).alias("bucket_ts"),
+        F.explode(F.arrays_zip("idx", "cnt")).alias("z"),
+    ).select(
+        key_col, "bucket_ts", F.col("z.idx").alias("idx"), F.col("z.cnt").alias("c")
+    )
+    cells = exploded.groupBy(key_col, "bucket_ts", "idx").agg(F.sum("c").alias("c"))
+    return _cm_collect(cells, key_col, depth)
+
+
+def cm_candidates(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+    m: int = 8,
+) -> DataFrame:
+    """Exact per-(key, fine-bucket) top-``m`` items by (count desc, item
+    asc) — the candidate stream a count-min readout probes.  The classic
+    pairing (CM answers point queries only; heavy hitters need a
+    candidate set), and the union-of-fine-bucket-leaders heuristic is
+    the standard one: a coarse heavy hitter that never cracks any fine
+    bucket's top-m is possible in adversarial streams but not in the
+    skewed traffic heavy-hitter queries exist for.  Deterministic by
+    the string tie-break, so the DuckDB oracle replays it exactly.
+
+    Skew shape: the rank is the same two-phase (key, bucket,
+    spark_partition_id) pre-rank as kmv_sketch / domain_cap — a hot
+    (key, bucket) never sorts on one reducer.
+    """
+    from pyspark.sql import Window
+
+    per_item = (
+        df.groupBy(
+            F.col(key_col),
+            bucket_col(ts_col, tier).alias("bucket_ts"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w1 = Window.partitionBy(key_col, "bucket_ts", "_pid").orderBy(
+        F.col("c").desc(), F.col("item")
+    )
+    pre = (
+        per_item.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= m)
+        .drop("_pid", "_rn")
+    )
+    w = Window.partitionBy(key_col, "bucket_ts").orderBy(
+        F.col("c").desc(), F.col("item")
+    )
+    return (
+        pre.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= m)
+        .select(key_col, "bucket_ts", "item")
+    )
+
+
+def cm_topk(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    tier: str,
+    topk: int = 5,
+    key_col: str = "event_type",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Heavy-hitter readout from a count-min tier: re-bucket the (finer)
+    candidate stream to the sketch's ``tier``, probe each candidate's
+    depth cells (min over rows — the CM estimate, a deterministic upper
+    bound on its true count), rank per (key, bucket) by (estimate desc,
+    item asc) and keep ``topk``.
+
+    The probe is a map lookup per candidate (map_from_arrays over the
+    sparse cells — candidates drawn from the same data always hit);
+    the join is a slim equi-join of two already-tiny tiers.  The final
+    window ranks <= m x (fine buckets per coarse) rows per group —
+    bounded by construction, not by data volume.
+    """
+    from pyspark.sql import Window
+
+    from yatsm_spark.functions.textops import portable_hash64
+
+    cand = (
+        candidates.select(
+            F.col(key_col),
+            bucket_col("bucket_ts", tier).alias("bucket_ts"),
+            "item",
+        )
+        .distinct()
+    )
+    mp = F.map_from_arrays("idx", "cnt")
+    probes = [
+        F.coalesce(
+            F.element_at(
+                mp,
+                F.lit(r * width).cast("long")
+                + F.pmod(portable_hash64(F.col("item"), salt=r), F.lit(width)),
+            ),
+            F.lit(0).cast("long"),
+        )
+        for r in range(depth)
+    ]
+    est = F.least(*probes) if depth > 1 else probes[0]
+    joined = cand.join(sketch, [key_col, "bucket_ts"], "inner").select(
+        key_col, "bucket_ts", "item", est.alias("est_cnt")
+    )
+    w = Window.partitionBy(key_col, "bucket_ts").orderBy(
+        F.col("est_cnt").desc(), F.col("item")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= topk)
+    )
