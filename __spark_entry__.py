@@ -923,6 +923,20 @@ def _q_docs_commonness(spark, sf):
     return commonness_score(_t(spark, sf, "documents"))
 
 
+def _q_tfidf_cosine(spark, sf):
+    """All-pairs sparse TF-IDF cosine similarity (posting-list join,
+    Bayardo WWW 2007 family) with quantized-log2 idf and a df cap —
+    HASH-CHECKED: the oracle re-derives weights, dots, and norms from
+    raw text in HUGEINT.  Terms are word 3-grams (the documents vocab
+    is ~31 unigrams — every unigram is a stopword; same small-vocab
+    reasoning as docs_dup_spans)."""
+    from yatsm_spark.operators.terms import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf, "documents"), threshold=(1, 2), max_df=150, ngram=3
+    )
+
+
 def _q_docs_dup_spans(spark, sf):
     """Cross-document verbatim-span stats (train-vs-train k-gram overlap,
     the exact-substring-dedup flag stage) — HASH-CHECKED.  k=4 for the
@@ -1295,7 +1309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (making room for the NEW ops hampel_12 / wau_7d / cm_topk_1d)
     # cascade_30d, retention_1h, incr_merge_1h — triple-green r1-r3,
     # rollup.py tier code untouched this round, and cascade_1d stays
-    # inside the window as the cascade family's sentinel.
+    # inside the window as the cascade family's sentinel, and (making
+    # room for the NEW op tfidf_cosine) blob_range_read — triple-green,
+    # codec/blob code untouched this round, codec_roundtrip stays as the
+    # codec family's sentinel.
     # See COVERAGE.md for the matrix.
     return {
         "rollup_1h": _q_rollup_1h,
@@ -1328,7 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_increase_1h": _q_counter_increase_1h,
         "jsonl_ingest": _q_jsonl_ingest,
         "codec_roundtrip": _q_codec_roundtrip,
-        "blob_range_read": _q_blob_range_read,
+        "tfidf_cosine": _q_tfidf_cosine,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_guarded": _q_minhash_lsh_guarded,
         "docs_content_drift": _q_docs_content_drift,
@@ -1350,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccdc_classify_synth": _classify_synth,
         # ---- below the driver's 50-query window (full-registry coverage
         # via scripts/check_oracle.py; all driver-green in r1-r3) ----
+        "blob_range_read": _q_blob_range_read,
         "cascade_30d": _q_cascade_30d,
         "retention_1h": _q_retention_1h,
         "incr_merge_1h": _q_incr_merge_1h,
@@ -2085,6 +2103,37 @@ agg AS (
 SELECT a.doc_id, a.n_tokens,
        {_x1e4_sql('a.sum_df', '(a.n_tokens * n.n)')} AS mean_df_x1e4
 FROM agg a CROSS JOIN n
+"""
+
+# tfidf_cosine: weights, dots, and norms re-derived from raw text in
+# HUGEINT; idf_q = bitlen(N) - bitlen(df) via bin(); floor-div // is
+# exact on HUGEINT, mirroring the query's pmod-strip route.  Terms are
+# word 3-grams (_kgram_expr); max_df and threshold p/q match
+# _q_tfidf_cosine (150, 1/2).
+_TFIDF_COSINE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest({_kgram_expr(3)}) AS t FROM w),
+tc AS (SELECT doc_id AS id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+v AS (SELECT t, count(*) AS df FROM tc GROUP BY t),
+n AS (SELECT count(*) AS n FROM documents),
+posts AS (
+  SELECT tc.id, tc.t,
+         CAST(tc.tf * (1 + length(bin(n.n)) - length(bin(v.df)))
+              AS HUGEINT) AS wgt
+  FROM tc JOIN v USING (t) CROSS JOIN n
+  WHERE v.df <= 150),
+norms AS (SELECT id, sum(wgt * wgt) AS n2 FROM posts GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(a.wgt * b.wgt) AS dot
+  FROM posts a JOIN posts b USING (t)
+  WHERE a.id < b.id GROUP BY 1, 2)
+SELECT d.id_a, d.id_b, CAST(d.dot AS BIGINT) AS dot,
+       CAST((CAST(100000000 AS HUGEINT) * d.dot * d.dot)
+            // (na.n2 * nb.n2) AS BIGINT) AS sim_sq_x1e8
+FROM dots d
+JOIN norms na ON na.id = d.id_a
+JOIN norms nb ON nb.id = d.id_b
+WHERE 4 * d.dot * d.dot >= 1 * na.n2 * nb.n2
 """
 
 _DOCS_DUP_SPANS = f"""
@@ -3157,6 +3206,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_budget": _DOCS_PACK_BUDGET,
         "docs_tfidf_terms": _DOCS_TFIDF,
         "docs_commonness": _DOCS_COMMONNESS,
+        "tfidf_cosine": _TFIDF_COSINE,
         "docs_dup_spans": _DOCS_DUP_SPANS,
         "emb_ann_lsh": _emb_ann_lsh_oracle(),
         "emb_ann_ivf": _EMB_ANN_IVF,

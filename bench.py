@@ -78,6 +78,13 @@ BENCH_QUERIES = [
     # chained first-match), binned point-in-interval equi-join
     "funnel_view_click_purchase",
     "interval_purchase_after_error",
+    # part-11 additions: CM sketch build+cascade+probe readout, bounded
+    # rolling-collect window (hampel), offset-explode sliding distinct
+    "cm_topk_1d",
+    "hampel_12",
+    "wau_7d",
+    # part-12: posting-list TF-IDF cosine all-pairs (3-gram terms)
+    "tfidf_cosine",
 ]
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from yatsm_spark.operators.terms import (
+    tfidf_cosine_pairs,
     commonness_score,
     term_doc_freq,
     tfidf_top_terms,
@@ -70,3 +71,75 @@ def test_shuffled_join_fallback_matches_broadcast(tdocs):
         map(tuple, tfidf_top_terms(tdocs, k=2, broadcast_threshold=0).collect())
     )
     assert bc == shuffled
+
+
+# ---------------------------------------------------- tfidf_cosine_pairs
+
+
+@pytest.fixture(scope="module")
+def cdocs(spark):
+    # N=3, bitlen(3)=2.  df: a=2,b=2 (idf_q=0, w=tf); c,x,y df=1
+    # (idf_q=1, w=2*tf).
+    rows = [
+        (0, "a a b"),  # weights a:2 b:1       -> n2 = 5
+        (1, "a b c"),  # weights a:1 b:1 c:2   -> n2 = 6
+        (2, "x y"),    # weights x:2 y:2       -> n2 = 8
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cosine_pairs_hand_values(cdocs):
+    # only (0,1) share terms: dot = 2*1 + 1*1 = 3; cos^2 = 9/30 = 0.3.
+    # threshold 1/2: 4*9 >= 1*30 -> keep; sim_sq_x1e8 = 30_000_000 exact.
+    rows = tfidf_cosine_pairs(cdocs, threshold=(1, 2)).collect()
+    assert [(r.id_a, r.id_b, r.dot, r.sim_sq_x1e8) for r in rows] == [
+        (0, 1, 3, 30_000_000)
+    ]
+
+
+def test_cosine_pairs_threshold_excludes(cdocs):
+    # threshold 3/5: 25*9 = 225 < 9*30 = 270 -> pair dropped.
+    assert tfidf_cosine_pairs(cdocs, threshold=(3, 5)).count() == 0
+
+
+def test_cosine_pairs_df_guard(spark):
+    # 'the' occurs in every doc (df=3 > max_df=2) -> dropped from BOTH
+    # pairs and norms; docs 0/1 still meet through 'rare' with cosine 1
+    # over the surviving dimensions; doc 2 shares nothing informative.
+    d = spark.createDataFrame(
+        [(0, "the rare"), (1, "the rare"), (2, "the zebra")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(d, threshold=(9, 10), max_df=2).collect()
+    assert [(r.id_a, r.id_b, r.sim_sq_x1e8) for r in rows] == [
+        (0, 1, 100_000_000)
+    ]
+
+
+def test_cosine_pairs_shuffled_vocab_matches_broadcast(cdocs):
+    bc = sorted(map(tuple, tfidf_cosine_pairs(cdocs, threshold=(1, 4)).collect()))
+    sh = sorted(
+        map(
+            tuple,
+            tfidf_cosine_pairs(
+                cdocs, threshold=(1, 4), broadcast_threshold=0
+            ).collect(),
+        )
+    )
+    assert bc == sh
+
+
+def test_cosine_pairs_ngram_terms(spark):
+    # 3-gram terms: docs 0/1 share "p q r" (their only common 3-gram);
+    # N=3, df("p q r")=2 -> idf_q = bitlen(3)-bitlen(2) = 0, w=1 each.
+    # doc0 grams: "p q r","q r s" (df1, w=2): n2 = 1+4 = 5
+    # doc1 grams: "p q r","q r t" (df1, w=2): n2 = 5
+    # dot = 1; cos^2 = 1/25 -> sim_sq_x1e8 = 4_000_000
+    d = spark.createDataFrame(
+        [(0, "p q r s"), (1, "p q r t"), (2, "z z z z")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(d, threshold=(1, 5), ngram=3).collect()
+    assert [(r.id_a, r.id_b, r.dot, r.sim_sq_x1e8) for r in rows] == [
+        (0, 1, 1, 4_000_000)
+    ]

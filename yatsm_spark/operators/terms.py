@@ -155,3 +155,121 @@ def commonness_score(
             ).alias("mean_df_x1e4"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: tuple[int, int] = (1, 2),
+    max_df: int = 1000,
+    broadcast_threshold: int | None = 10_000_000,
+    ngram: int = 1,
+) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine similarity above ``threshold`` —
+    the posting-list (inverted-index) similarity join (Bayardo et al.
+    WWW 2007 "Scaling up all pairs similarity search"): documents meet
+    ONLY through terms they share, never through an O(N^2) cross join.
+    Complements the other near-dup families (MinHash = set overlap,
+    SimHash = bitwise, embeddings = dense semantic): weighted
+    bag-of-words cosine is the classic IR notion of "about the same
+    thing in the same words".
+
+    Integer-exact across engines: idf is QUANTIZED log2 rarity —
+    idf_q = bitlen(N) - bitlen(df) (how many times df doubles below N),
+    computed via base-2 string length (pure string op, no float log) —
+    and weight w = tf * (1 + idf_q).  The threshold p/q keeps pairs
+    with  q^2 * dot^2 >= p^2 * |a|^2 * |b|^2  (dot >= 0 always — weights
+    are nonnegative), cross-multiplied in decimal(38,0); the reported
+    similarity is sim_sq_x1e8 = floor(1e8 * dot^2 / (|a|^2 |b|^2)) —
+    squared cosine, since an exact integer sqrt is not worth buying.
+    Bounds: w <= tf * 64; with ~1e3-term docs dot <= ~4e12 and
+    dot^2 * 1e8 <= ~1.6e33, inside decimal(38,0) / DuckDB HUGEINT.
+
+    ``max_df`` is the quadratic-bomb guard (the LSH star-guard's twin):
+    a stopword's posting list is corpus-sized and its self-join is
+    |corpus|^2 — so terms with df > max_df are dropped from BOTH the
+    pairs and the norms (cosine over the informative dimensions only;
+    the standard df-cap every inverted-index join applies).  Pairs per
+    surviving term are <= max_df^2 by construction.
+
+    Scale notes (100 TB design):
+      * One (id, term) aggregate (map-side combined), one vocab join
+        (broadcast under threshold — Heaps' law, see module docstring),
+        ONE posting self-join keyed on term (the only quadratic-risk
+        shuffle, bounded by max_df), one (id_a, id_b) aggregate, two
+        slim norm joins.
+      * Norms are per-doc scalars — the join is many-to-one on id and
+        AQE broadcasts at small SF.
+
+    ``ngram`` > 1 switches the term dimension from unigrams to word
+    n-grams (map-side ``shingle_array``) — the right setting for
+    small-vocabulary corpora where every unigram is effectively a
+    stopword (same reasoning as docs_dup_spans/docs_decontam's k=4):
+    n-gram vocabularies grow combinatorially, so posting lists stay
+    sparse and the cosine measures SHARED PHRASING, not shared alphabet.
+
+    Returns (id_a, id_b, dot, sim_sq_x1e8), id_a < id_b.
+    """
+    p, q = threshold
+    if ngram > 1:
+        from yatsm_spark.operators.dedup import shingle_array
+
+        tc = (
+            docs.select(
+                F.col(id_col).alias("id"),
+                F.explode(shingle_array(F.col(text_col), ngram)).alias("t"),
+            )
+            .groupBy("id", "t")
+            .agg(F.count("*").alias("tf"))
+        )
+    else:
+        tc = _doc_terms(docs, id_col, text_col)
+    vocab = tc.groupBy("t").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    if broadcast_threshold is not None and vocab.count() <= broadcast_threshold:
+        vocab = F.broadcast(vocab)
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    idf_q = F.lit(len(bin(max(int(n_docs), 1))) - 2) - bitlen(F.col("df"))
+    posts = (
+        tc.join(vocab, "t")
+        .filter(F.col("df") <= max_df)
+        .select(
+            "id",
+            "t",
+            (F.col("tf") * (F.lit(1) + idf_q)).cast("long").alias("w"),
+        )
+    )
+    dec = "decimal(38,0)"
+    norms = posts.groupBy("id").agg(
+        F.sum(F.col("w").cast(dec) * F.col("w").cast(dec)).alias("n2")
+    )
+    a = posts.select(F.col("id").alias("id_a"), "t", F.col("w").alias("wa"))
+    b = posts.select(F.col("id").alias("id_b"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa").cast(dec) * F.col("wb").cast(dec)).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2b"))
+    dd = F.col("dot") * F.col("dot")
+    keep = (
+        F.lit(q * q).cast(dec) * dd
+        >= F.lit(p * p).cast(dec) * F.col("n2a") * F.col("n2b")
+    )
+    num = F.lit(100_000_000).cast(dec) * dd
+    den = F.col("n2a") * F.col("n2b")
+    exact = num - F.pmod(num, den)
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(keep)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dot").cast("bigint").alias("dot"),
+            (exact / den).cast("bigint").alias("sim_sq_x1e8"),
+        )
+    )
