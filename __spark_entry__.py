@@ -999,11 +999,18 @@ def _q_ann_ivf(spark, sf):
 
 def _q_multimodal_synth(spark, sf):  # noqa: ARG001 — synthetic media per north rule
     """Binary media columns: magic sniffing (real JVM exprs) over synthetic
-    crawl html UNIONED with deterministic BMP images whose decode is REAL
-    (header + numpy pixel parse, no imaging library) — only non-BMP rows
-    take the documented fake-decoder path."""
+    crawl html UNIONED with deterministic BMP images whose decode AND
+    resize are REAL (header + numpy pixel parse, no imaging library) —
+    only non-BMP rows take the documented fake-decoder path.  The resize
+    stage contributes the thumbnail md5 and the aHash perceptual near-dup
+    key, so the golden hash also pins the pixel-exact resampler."""
     from yatsm_spark.datagen import generate_crawl
-    from yatsm_spark.operators.multimodal import decode_image, make_bmp, media_metadata
+    from yatsm_spark.operators.multimodal import (
+        decode_image,
+        make_bmp,
+        media_metadata,
+        resize_image,
+    )
 
     crawl = generate_crawl(spark, n_urls=30, span_days=10).limit(200)
     docs = crawl.select(F.xxhash64("url", "warc_ts").alias("doc_id"), "html")
@@ -1014,8 +1021,16 @@ def _q_multimodal_synth(spark, sf):  # noqa: ARG001 — synthetic media per nort
     docs = docs.unionByName(bmps)
     meta = media_metadata(docs, "html").select("doc_id", "media_kind", "media_bytes")
     img = decode_image(docs, "html", fake=True)
-    return meta.join(img, "doc_id").select(
-        "doc_id", "media_kind", "media_bytes", "width", "height", "n_channels"
+    thumbs = resize_image(docs, out_w=16, out_h=16, fake=True).select(
+        "doc_id", F.md5("thumb").alias("thumb_md5"), "ahash64"
+    )
+    return (
+        meta.join(img, "doc_id")
+        .join(thumbs, "doc_id")
+        .select(
+            "doc_id", "media_kind", "media_bytes", "width", "height",
+            "n_channels", "thumb_md5", "ahash64",
+        )
     )
 
 
@@ -2597,7 +2612,8 @@ _MULTIMODAL_GOLDEN = _golden(
     "multimodal_media_synth",
     "CAST(doc_id AS BIGINT) AS doc_id, media_kind, CAST(media_bytes AS BIGINT) AS media_bytes, "
     "CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, "
-    "CAST(n_channels AS INTEGER) AS n_channels",
+    "CAST(n_channels AS INTEGER) AS n_channels, thumb_md5, "
+    "CAST(ahash64 AS BIGINT) AS ahash64",
 )
 
 

@@ -129,3 +129,121 @@ def test_bmp_8bit_palette_mapped_luma(spark):
     assert abs(row["mean_luma"] - truth_luma) < 1e-9
     # index-mean would be ~7.5/255 ≈ 0.03 — assert we did NOT do that
     assert row["mean_luma"] > 0.9
+
+
+def test_resize_bmp_real_nearest_neighbor(spark):
+    """Resize must sample the REAL pixel grid: thumb bytes equal the
+    test's own integer nearest-neighbor resample of the pattern's luma
+    ground truth, and ahash64 equals the test's own 8x8 mean-threshold
+    pack (bit 63 signed, simhash64 convention)."""
+    import numpy as np
+
+    from yatsm_spark.operators.multimodal import make_bmp, resize_image
+
+    w0, h0, seed = 37, 21, 9
+    data = make_bmp(w0, h0, seed)
+    yy, xx = np.mgrid[0:h0, 0:w0]
+    luma = (
+        0.114 * ((xx * 7 + seed) % 256)
+        + 0.587 * ((yy * 13 + seed * 3) % 256)
+        + 0.299 * ((xx + yy + seed * 5) % 256)
+    )
+
+    def nn(dst_h, dst_w):
+        rr = (np.arange(dst_h) * h0) // dst_h
+        cc = (np.arange(dst_w) * w0) // dst_w
+        return luma[rr][:, cc]
+
+    want_thumb = nn(6, 5).astype(np.uint8).tobytes()
+    t8 = nn(8, 8)
+    bits = (t8 > t8.mean()).flatten()
+    want_hash = 0
+    for b in bits:
+        want_hash = (want_hash << 1) | int(b)
+    if want_hash >= 1 << 63:
+        want_hash -= 1 << 64
+
+    df = spark.createDataFrame([(1, bytearray(data))], "doc_id long, html binary")
+    row = resize_image(df, out_w=5, out_h=6, fake=False).first()
+    assert (row["thumb_w"], row["thumb_h"]) == (5, 6)
+    assert bytes(row["thumb"]) == want_thumb
+    assert row["ahash64"] == want_hash
+
+
+def test_resize_ahash_scale_invariant(spark):
+    """The perceptual point: a 2x nearest-neighbor upscale of the same
+    picture (different bytes, different md5) collides on ahash64, while
+    a different picture does not."""
+    import numpy as np
+    import struct
+
+    from yatsm_spark.operators.multimodal import make_bmp, resize_image
+
+    def upscale2x(data: bytes) -> bytes:
+        from yatsm_spark.operators.multimodal import _bmp_luma_grid
+
+        # rebuild a 24-bit gray BMP from the doubled luma grid
+        _, grid = _bmp_luma_grid(data)
+        g = np.repeat(np.repeat(grid.astype(np.uint8), 2, 0), 2, 1)
+        h, w = g.shape
+        stride = ((w * 3 + 3) // 4) * 4
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        for c in range(3):
+            rows[:, c : w * 3 : 3] = g
+        px = rows[::-1].tobytes()
+        header = struct.pack(
+            "<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 14 + 40
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+        )
+        return header + px
+
+    a = make_bmp(64, 48, seed=1)
+    # gray re-encode of a (same luma values exactly) then upscaled 2x
+    a_gray = upscale2x(a)
+    # a STRUCTURALLY different picture (multiplicative-hash texture) —
+    # note make_bmp with another seed is NOT different enough: the seed
+    # only brightness-shifts the same gradient, and aHash is
+    # brightness-invariant by construction (that's its point)
+    import numpy as np
+    import struct as _s
+
+    g = ((np.arange(48 * 64).reshape(48, 64) * 2654435761) % 256).astype(
+        np.uint8
+    )
+    stride = ((64 * 3 + 3) // 4) * 4
+    rows = np.zeros((48, stride), np.uint8)
+    for c in range(3):
+        rows[:, c : 64 * 3 : 3] = g
+    px = rows[::-1].tobytes()
+    b = (
+        _s.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
+        + _s.pack("<IiiHHIIiiII", 40, 64, 48, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+        + px
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(a)), (1, bytearray(a_gray)), (2, bytearray(b))],
+        "doc_id long, html binary",
+    )
+    out = {r["doc_id"]: r["ahash64"] for r in resize_image(df).collect()}
+
+    def ham(x, y):
+        return bin((x & (2**64 - 1)) ^ (y & (2**64 - 1))).count("1")
+
+    # the gray re-encode truncates luma to uint8, so pixels sitting within
+    # one luma unit of the mean can flip — a FEW bits of slack is the
+    # perceptual-hash contract (match = small Hamming ball, not equality)
+    assert ham(out[0], out[1]) <= 4
+    assert ham(out[0], out[2]) >= 16
+
+
+def test_resize_stub_policy(media):
+    """Non-BMP bytes follow the module stub policy: loud raise without
+    fake, deterministic output with it."""
+    from yatsm_spark.operators.multimodal import resize_image
+
+    with pytest.raises(Exception):
+        resize_image(media, bin_col="blob", fake=False).collect()
+    one = resize_image(media, bin_col="blob", fake=True).collect()
+    two = resize_image(media, bin_col="blob", fake=True).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, two))

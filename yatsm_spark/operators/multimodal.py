@@ -22,6 +22,9 @@ Operators:
                                 mean_luma) via mapInPandas [STUB]
   * :func:`frame_sample`      — video binary -> k deterministic frame
                                 offsets (plumbing for a real demuxer) [STUB]
+  * :func:`resize_image`      — binary -> nearest-neighbor luma thumbnail
+                                + aHash perceptual near-dup key (REAL for
+                                BMP; stub policy otherwise)
   * :func:`media_dedup_keys`  — exact dedup key (md5 of bytes) — real
 """
 
@@ -62,14 +65,15 @@ def media_metadata(df: DataFrame, bin_col: str = "html") -> DataFrame:
     )
 
 
-def _decode_bmp(data: bytes):
-    """REAL decode of uncompressed 8/24/32-bit BMP — header parse + numpy
-    pixel view, no imaging library required.  8-bit pixels are palette
-    INDICES: the color table (BGRA quads after the info header) is parsed
-    and indices map through it, so mean_luma is true luma for arbitrary
-    palettes, not an identity-grayscale assumption.  Returns None when the
-    bytes are not a decodable BMP (caller falls through to the stub
-    policy)."""
+def _bmp_luma_grid(data: bytes):
+    """REAL decode of uncompressed 8/24/32-bit BMP to an (h, w) float64
+    Rec.601 luma grid in [0, 255] — header parse + numpy pixel view, no
+    imaging library required.  8-bit pixels are palette INDICES: the
+    color table (BGRA quads after the info header) is parsed and indices
+    map through it, so luma is true luma for arbitrary palettes, not an
+    identity-grayscale assumption.  Returns (n_channels, grid), or None
+    when the bytes are not a decodable BMP (caller falls through to the
+    stub policy)."""
     import struct
 
     import numpy as np
@@ -81,7 +85,8 @@ def _decode_bmp(data: bytes):
     if hdr_sz < 40:
         return None
     w = struct.unpack_from("<i", data, 18)[0]
-    h = abs(struct.unpack_from("<i", data, 22)[0])
+    raw_h = struct.unpack_from("<i", data, 22)[0]
+    h = abs(raw_h)
     bpp = struct.unpack_from("<H", data, 28)[0]
     comp = struct.unpack_from("<I", data, 30)[0]
     if comp != 0 or bpp not in (8, 24, 32) or w <= 0 or h <= 0:
@@ -91,6 +96,8 @@ def _decode_bmp(data: bytes):
     if len(data) < px_off + stride * h:
         return None
     arr = np.frombuffer(data, np.uint8, stride * h, px_off).reshape(h, stride)
+    if raw_h > 0:  # positive height = bottom-up storage; flip to top-down
+        arr = arr[::-1]
     px = arr[:, : w * ch]
     if ch == 1:
         n_colors = struct.unpack_from("<I", data, 46)[0] or 256
@@ -103,13 +110,20 @@ def _decode_bmp(data: bytes):
         idx = px.reshape(h, w)
         if int(idx.max()) >= n_colors:
             return None
-        luma = float(lum_table[idx].mean()) / 255.0
-    else:
-        rgb = px.reshape(h, w, ch).astype(np.float64)  # BGR(A) byte order
-        luma = float(
-            (0.114 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.299 * rgb[..., 2]).mean()
-        ) / 255.0
-    return w, h, ch, round(luma, 6)
+        return ch, lum_table[idx]
+    rgb = px.reshape(h, w, ch).astype(np.float64)  # BGR(A) byte order
+    return ch, 0.114 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.299 * rgb[..., 2]
+
+
+def _decode_bmp(data: bytes):
+    """Metadata view of :func:`_bmp_luma_grid`: (w, h, n_channels,
+    mean_luma in [0, 1]), or None for non-BMP bytes."""
+    decoded = _bmp_luma_grid(data)
+    if decoded is None:
+        return None
+    ch, grid = decoded
+    h, w = grid.shape
+    return w, h, ch, round(float(grid.mean()) / 255.0, 6)
 
 
 def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
@@ -221,6 +235,88 @@ def frame_sample(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, thumb_w int, thumb_h int, thumb binary, ahash64 long"
+)
+
+
+def _resize_one(data: bytes, out_w: int, out_h: int, fake: bool):
+    """One image -> (thumb bytes, ahash64).  REAL for uncompressed BMP:
+    integer nearest-neighbor sampling (src_idx = (i*src)//dst — pure
+    integer, engine/cluster-exact) of the Rec.601 luma grid, truncated to
+    uint8.  The perceptual key is the classic average hash over the 8x8
+    resample of the SAME grid: bit set iff pixel > mean, packed row-major
+    MSB-first into a signed bigint (bit 63 carries weight -(2^63), the
+    simhash64 convention)."""
+    import numpy as np
+
+    decoded = _bmp_luma_grid(data)
+    if decoded is None:
+        if not fake:
+            raise NotImplementedError(
+                "image resize beyond uncompressed BMP requires an imaging "
+                "library (PIL/libvips) — not installed in this "
+                "environment; pass fake=True for the deterministic stub"
+            )
+        h = hashlib.md5(data).digest()
+        seed = np.frombuffer(
+            hashlib.md5(data + b"px").digest() * 4, np.uint8
+        ).astype(np.float64)
+        grid = np.resize(seed, (max(out_h, 8), max(out_w, 8)))
+    else:
+        grid = decoded[1]
+    h_src, w_src = grid.shape
+
+    def nn(dst_h: int, dst_w: int):
+        rr = (np.arange(dst_h) * h_src) // dst_h
+        cc = (np.arange(dst_w) * w_src) // dst_w
+        return grid[rr][:, cc]
+
+    thumb = nn(out_h, out_w).astype(np.uint8)  # truncation toward zero
+    t8 = nn(8, 8)
+    bits = (t8 > t8.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return thumb.tobytes(), v
+
+
+def resize_image(
+    df: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    bin_col: str = "html",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """binary -> (thumb_w, thumb_h, thumb, ahash64) via Arrow-batched
+    mapInPandas — the brief's image-resize stage plus the perceptual
+    near-dup key it enables (aHash: re-encoded/re-struck copies of the
+    same picture collide; grouping on ahash64 is image-side near-dup
+    the way fp-grouping is text-side exact dedup).
+
+    Same production plan shape as :func:`decode_image`: narrow
+    projection, whole-Arrow-batch Python calls, fixed output schema.
+    Real for uncompressed BMP (integer nearest-neighbor on the real luma
+    grid); other formats follow the module's stub policy (loud
+    NotImplementedError unless ``fake=True``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, data in zip(pdf[id_col], pdf[bin_col]):
+                thumb, ah = _resize_one(bytes(data), out_w, out_h, fake)
+                rows.append(
+                    {"doc_id": did, "thumb_w": out_w, "thumb_h": out_h,
+                     "thumb": thumb, "ahash64": ah}
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
 def media_dedup_keys(df: DataFrame, bin_col: str = "html",
