@@ -76,7 +76,7 @@ def ensure_data(n_events: int) -> str:
     return path
 
 
-def run_once(path: str, cores: int) -> dict:
+def run_once(path: str, cores: int, suite: str = "analytics") -> dict:
     from pyspark.sql import functions as F
 
     from yatsm_spark.operators.series import (
@@ -92,6 +92,40 @@ def run_once(path: str, cores: int) -> dict:
     )
     ev = spark.read.parquet(path)
     walls: dict[str, float] = {}
+
+    if suite == "sketch":
+        # part-11 family: CM heavy-hitter tier (build+cascade+probe),
+        # Hampel rolling-median/MAD flags, rolling 7d distinct actives
+        from yatsm_spark.operators.series import hampel_flags, rolling_active
+        from yatsm_spark.operators.sketch import (
+            cm_candidates,
+            cm_cascade,
+            cm_sketch,
+            cm_topk,
+        )
+
+        t0 = time.time()
+        sk1d = cm_cascade(cm_sketch(ev, "1h"), "1d")
+        cm_topk(sk1d, cm_candidates(ev, "1h", m=8), "1d", topk=5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        walls["cm_topk"] = time.time() - t0
+
+        t0 = time.time()
+        hampel_flags(ev, order_tiebreak="event_id").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls["hampel"] = time.time() - t0
+
+        t0 = time.time()
+        rolling_active(ev, days=7).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls["wau"] = time.time() - t0
+
+        walls["total"] = sum(walls.values())
+        spark.stop()
+        return walls
 
     t0 = time.time()
     funnel(ev, ["view", "click", "purchase"]).write.format("noop").mode(
@@ -143,16 +177,21 @@ def summarize(out_path: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=4_000_000)
-    ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--suite", choices=("analytics", "sketch"),
+                    default="analytics")
     ap.add_argument("--summarize", action="store_true")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = (DEFAULT_OUT if args.suite == "analytics"
+                    else DEFAULT_OUT.replace(".jsonl", "_sketch.jsonl"))
     if args.summarize:
         summarize(args.out)
         return
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     path = ensure_data(args.events)
     for cores in (8, 32):
-        walls = run_once(path, cores)
+        walls = run_once(path, cores, args.suite)
         rec = {"events": args.events, "cores": cores, "walls": walls,
                "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
         with open(args.out, "a") as f:
