@@ -937,6 +937,15 @@ def _q_tfidf_cosine(spark, sf):
     )
 
 
+def _q_docs_collocations(spark, sf):
+    """Top bigram collocations by integer-exact PMI ratio (Church &
+    Hanks 1990) — HASH-CHECKED: the oracle re-derives unigram/bigram
+    counts and the HUGEINT ratio from raw text."""
+    from yatsm_spark.operators.terms import collocations
+
+    return collocations(_t(spark, sf, "documents"), min_count=5, topk=50)
+
+
 def _q_docs_dup_spans(spark, sf):
     """Cross-document verbatim-span stats (train-vs-train k-gram overlap,
     the exact-substring-dedup flag stage) — HASH-CHECKED.  k=4 for the
@@ -1327,11 +1336,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the window as the cascade family's sentinel, and (making
     # room for the NEW op tfidf_cosine) blob_range_read — triple-green,
     # codec/blob code untouched this round, codec_roundtrip stays as the
-    # codec family's sentinel.
+    # codec family's sentinel, and (making room for the NEW op
+    # docs_collocations) rollup_1h — triple-green r1-r3, rollup.py tier
+    # code untouched this round, cascade_1d remains the tier family's
+    # in-window sentinel and rollup_1h is still timed every round by the
+    # driver bench (it is the headline metric query).
     # See COVERAGE.md for the matrix.
     return {
-        "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
+        "docs_collocations": _q_docs_collocations,
         "hampel_12": _q_hampel_12,
         "wau_7d": _q_wau_7d,
         "cm_topk_1d": _q_cm_topk_1d,
@@ -1382,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccdc_classify_synth": _classify_synth,
         # ---- below the driver's 50-query window (full-registry coverage
         # via scripts/check_oracle.py; all driver-green in r1-r3) ----
+        "rollup_1h": _q_rollup_1h,
         "blob_range_read": _q_blob_range_read,
         "cascade_30d": _q_cascade_30d,
         "retention_1h": _q_retention_1h,
@@ -2149,6 +2163,31 @@ FROM dots d
 JOIN norms na ON na.id = d.id_a
 JOIN norms nb ON nb.id = d.id_b
 WHERE 4 * d.dot * d.dot >= 1 * na.n2 * nb.n2
+"""
+
+# docs_collocations: unigram/bigram multiset counts + the exp(PMI) ratio
+# c_xy*T^2/(B*c_x*c_y) re-derived in HUGEINT; floor-div // mirrors the
+# query's pmod-strip; min_count/topk match _q_docs_collocations (5, 50).
+_DOCS_COLLOCATIONS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT unnest(ws) AS t FROM w),
+uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+bgl AS (SELECT {_kgram_expr(2)} AS kgs FROM w),
+bg AS (SELECT unnest(kgs) AS xy FROM bgl),
+big AS (SELECT xy, count(*) AS c_xy FROM bg GROUP BY xy
+        HAVING count(*) >= 5),
+tt AS (SELECT CAST(count(*) AS HUGEINT) AS t_total FROM tok),
+bt AS (SELECT CAST(coalesce(sum(len(kgs)), 0) AS HUGEINT) AS b_total
+       FROM bgl)
+SELECT b.xy AS bigram, b.c_xy, x.c AS c_x, y.c AS c_y,
+       CAST((CAST(10000 AS HUGEINT) * b.c_xy * tt.t_total * tt.t_total)
+            // (bt.b_total * x.c * y.c) AS BIGINT) AS pmi_ratio_x1e4
+FROM big b
+JOIN uni x ON x.t = split_part(b.xy, ' ', 1)
+JOIN uni y ON y.t = substr(b.xy, instr(b.xy, ' ') + 1)
+CROSS JOIN tt CROSS JOIN bt
+ORDER BY pmi_ratio_x1e4 DESC, bigram
+LIMIT 50
 """
 
 _DOCS_DUP_SPANS = f"""
@@ -3081,10 +3120,13 @@ FROM a1 JOIN a7 USING (d)
 """
 
 # cm_topk_1d: re-derive the count-min algebra from RAW events — per-day
-# cells at column hash_r(item) % 64 for r in 0..3, exact per-hour top-8
-# candidates, estimate = min over rows, rank (est desc, item asc) <= 5.
-# A green row proves the 1h->1d counter-matrix MERGE exact (the oracle
-# never builds the intermediate tier).
+# cells at column ((h*(2r+1) + 7919*(r+1)) % 2147483647) % 64 for r in
+# 0..3 with h = ONE md5-derived base hash per item (the affine-rehash
+# form sketch._cm_idx uses — one md5 per item, not one per depth row),
+# exact per-hour top-8 candidates, estimate = min over rows, rank
+# (est desc, item asc) <= 5.  A green row proves the 1h->1d
+# counter-matrix MERGE exact (the oracle never builds the intermediate
+# tier).
 _CM_TOPK_1D = f"""
 WITH cnt1h AS (
   SELECT event_type, {_b("ts", 3600)} AS b1h,
@@ -3098,24 +3140,29 @@ cand AS (
   WHERE rn <= 8),
 cntd AS (
   SELECT event_type, {_b("ts", 86400)} AS bucket_ts,
-         CAST(user_id AS VARCHAR) AS item, count(*) AS c
+         CAST(user_id AS VARCHAR) AS item, count(*) AS c,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
   FROM events GROUP BY 1, 2, 3),
 cells AS (
   SELECT event_type, bucket_ts, r.r AS r,
-         CAST(('0x' || substr(md5(item || '#' || r.r), 1, 8)) AS BIGINT) % 64
+         ((h * (2 * r.r + 1) + 7919 * (r.r + 1)) % 2147483647) % 64
            AS cidx,
          sum(c)::BIGINT AS cell
   FROM cntd, (SELECT unnest([0, 1, 2, 3]) AS r) r
   GROUP BY 1, 2, 3, 4),
+ch AS (
+  SELECT *, CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) AS h
+  FROM cand),
 est AS (
   SELECT cd.event_type, cd.bucket_ts, cd.item, min(cl.cell)::BIGINT AS est_cnt
-  FROM cand cd
+  FROM ch cd
   JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rr ON true
   JOIN cells cl
     ON cl.event_type = cd.event_type AND cl.bucket_ts = cd.bucket_ts
    AND cl.r = rr.r
-   AND cl.cidx = CAST(('0x' || substr(md5(cd.item || '#' || rr.r), 1, 8))
-                      AS BIGINT) % 64
+   AND cl.cidx = ((cd.h * (2 * rr.r + 1) + 7919 * (rr.r + 1))
+                  % 2147483647) % 64
   GROUP BY 1, 2, 3),
 rk AS (
   SELECT *, row_number() OVER (PARTITION BY event_type, bucket_ts
@@ -3223,6 +3270,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_tfidf_terms": _DOCS_TFIDF,
         "docs_commonness": _DOCS_COMMONNESS,
         "tfidf_cosine": _TFIDF_COSINE,
+        "docs_collocations": _DOCS_COLLOCATIONS,
         "docs_dup_spans": _DOCS_DUP_SPANS,
         "emb_ann_lsh": _emb_ann_lsh_oracle(),
         "emb_ann_ivf": _EMB_ANN_IVF,

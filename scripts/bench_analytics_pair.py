@@ -104,6 +104,13 @@ def run_once(path: str, cores: int, suite: str = "analytics") -> dict:
             cm_topk,
         )
 
+        # warm the scan + JVM before timing: the first heavy job in a
+        # fresh session pays page-cache first-touch and codegen/JIT
+        # warmup, which the per-stage probe showed dominating the first
+        # measured job at local[32] (cm_topk_full ran 17.6 s AFTER
+        # warmup in the same session where a cold cm_sketch took 82.9 s)
+        ev.count()
+
         t0 = time.time()
         sk1d = cm_cascade(cm_sketch(ev, "1h"), "1d")
         cm_topk(sk1d, cm_candidates(ev, "1h", m=8), "1d", topk=5).write.format(

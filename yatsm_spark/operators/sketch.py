@@ -358,8 +358,6 @@ def cm_sketch(
     completes the north_star retention-tier story (BASELINE.json:6) for
     the frequent-items family.
     """
-    from yatsm_spark.functions.textops import portable_hash64
-
     item = F.col(item_col).cast("string")
     per_item = (
         df.groupBy(
@@ -370,11 +368,7 @@ def cm_sketch(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     idxs = F.array(
-        *[
-            F.lit(r * width).cast("long")
-            + F.pmod(portable_hash64(F.col("_it"), salt=r), F.lit(width))
-            for r in range(depth)
-        ]
+        *[_cm_idx(F.col("_it"), r, width) for r in range(depth)]
     )
     cells = (
         per_item.select(
@@ -384,6 +378,34 @@ def cm_sketch(
         .agg(F.sum("c").alias("c"))
     )
     return _cm_collect(cells, key_col, depth)
+
+
+#: CM row-hash modulus (the textops 31-bit field prime)
+_CM_PRIME = 2147483647
+
+
+def _cm_idx(item: F.Column, r: int, width: int) -> F.Column:
+    """Sparse cell index r*width + col for CM row ``r``: ONE md5-derived
+    base hash per item (portable_hash64) re-salted ARITHMETICALLY per
+    row — col_r = ((h*(2r+1) + 7919*(r+1)) mod PRIME) mod width, the
+    minhash_sig affine-rehash trick.  The original per-row salted md5
+    (concat + md5 + hex-substr + conv PER ROW PER DEPTH) anti-scaled
+    with threads on allocation pressure: the sketch-suite N-vs-4N
+    campaign measured cm_sketch 21.5 s @local[8] vs 82.9 s @local[32]
+    on the SAME 16M events; one md5 + three integer ops per extra row
+    removes 3/4 of the string work.  h <= 2^32 and a <= 2*depth-1, so
+    h*a + b < 2^36 — no bigint wrap; both mods are nonnegative in both
+    engines (pmod / % on nonneg operands)."""
+    from yatsm_spark.functions.textops import portable_hash64
+
+    h = portable_hash64(item)
+    col = F.pmod(
+        F.pmod(
+            h * F.lit(2 * r + 1) + F.lit(7919 * (r + 1)), F.lit(_CM_PRIME)
+        ),
+        F.lit(width),
+    )
+    return F.lit(r * width).cast("long") + col
 
 
 def _cm_collect(cells: DataFrame, key_col: str, depth: int) -> DataFrame:
@@ -499,8 +521,6 @@ def cm_topk(
     """
     from pyspark.sql import Window
 
-    from yatsm_spark.functions.textops import portable_hash64
-
     cand = (
         candidates.select(
             F.col(key_col),
@@ -512,11 +532,7 @@ def cm_topk(
     mp = F.map_from_arrays("idx", "cnt")
     probes = [
         F.coalesce(
-            F.element_at(
-                mp,
-                F.lit(r * width).cast("long")
-                + F.pmod(portable_hash64(F.col("item"), salt=r), F.lit(width)),
-            ),
+            F.element_at(mp, _cm_idx(F.col("item"), r, width)),
             F.lit(0).cast("long"),
         )
         for r in range(depth)
