@@ -143,3 +143,50 @@ def test_cosine_pairs_ngram_terms(spark):
     assert [(r.id_a, r.id_b, r.dot, r.sim_sq_x1e8) for r in rows] == [
         (0, 1, 1, 4_000_000)
     ]
+
+
+# --------------------------------------------------------- collocations
+
+
+def test_collocations_hand_values(spark):
+    # corpus: "a b a b" / "a b c" / "c c"
+    # T = 9 tokens; B = 6 bigrams; c(a)=c(b)=c(c)=3
+    # bigram counts: "a b":3, "b a":1, "b c":1, "c c":1
+    # ratio_x1e4 = floor(1e4 * c_xy * T^2 / (B * c_x * c_y)):
+    #   "a b": 1e4*3*81/(6*9) = 45000;  others: 1e4*81/54 = 15000
+    from yatsm_spark.operators.terms import collocations
+
+    d = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "c c")],
+        "doc_id long, text string",
+    )
+    rows = collocations(d, min_count=1, topk=10).collect()
+    got = [(r.bigram, r.c_xy, r.c_x, r.c_y, r.pmi_ratio_x1e4) for r in rows]
+    assert got == [
+        ("a b", 3, 3, 3, 45000),
+        ("b a", 1, 3, 3, 15000),  # ties broken bigram-asc
+        ("b c", 1, 3, 3, 15000),
+        ("c c", 1, 3, 3, 15000),
+    ]
+    # min_count prunes the hapax tail before scoring
+    only = collocations(d, min_count=2, topk=10).collect()
+    assert [(r.bigram, r.pmi_ratio_x1e4) for r in only] == [("a b", 45000)]
+
+
+def test_collocations_topk_and_fallback(spark):
+    from yatsm_spark.operators.terms import collocations
+
+    d = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "c c")],
+        "doc_id long, text string",
+    )
+    top1 = collocations(d, min_count=1, topk=1).collect()
+    assert [(r.bigram,) for r in top1] == [("a b",)]
+    bc = [tuple(r) for r in collocations(d, min_count=1, topk=10).collect()]
+    sh = [
+        tuple(r)
+        for r in collocations(
+            d, min_count=1, topk=10, broadcast_threshold=0
+        ).collect()
+    ]
+    assert bc == sh

@@ -12,6 +12,10 @@ Training-data-pipeline operators (task brief first-class components):
     al. 2020 filter on LM perplexity; this is the integer-exact proxy):
     LOW values flag rare-token-heavy docs (mojibake, OCR noise, codes),
     HIGH values flag stopword/filler soup.
+  * :func:`tfidf_cosine_pairs` — all-pairs weighted bag-of-words cosine
+    via the posting-list (inverted-index) similarity join, df-capped.
+  * :func:`collocations` — top-k bigram collocations by integer-exact
+    PMI ratio (corpus phrase mining).
 
 Exactness: idf is the LINEAR inverse document frequency N/df, not
 log(N/df) — tf * N / df is computable in exact integer arithmetic
@@ -272,4 +276,98 @@ def tfidf_cosine_pairs(
             F.col("dot").cast("bigint").alias("dot"),
             (exact / den).cast("bigint").alias("sim_sq_x1e8"),
         )
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 100,
+    broadcast_threshold: int | None = 10_000_000,
+) -> DataFrame:
+    """Top-``topk`` bigram collocations by pointwise mutual information —
+    the corpus-exploration classic (Church & Hanks 1990 "Word
+    association norms"): phrases whose words co-occur far more than
+    their unigram frequencies predict ("new york", "click here") rank
+    first; frequent-but-independent pairs rank last.
+
+    Integer-exact PMI proxy: exp(PMI) = p(xy) / (p(x) p(y))
+    = (c_xy / B) / ((c_x / T)(c_y / T)) = c_xy * T^2 / (B * c_x * c_y)
+    with T = corpus token occurrences, B = corpus bigram occurrences
+    (multiset counts) — reported as pmi_ratio_x1e4, the pmod-exact
+    floor of 1e4 * that ratio in decimal(38,0).  The ratio is a
+    MONOTONE transform of PMI (log is monotone), so ranking by it IS
+    ranking by PMI, with none of log's cross-engine float rounding.
+    Bounds: c_xy * T^2 * 1e4 must stay under ~1e38 — at the 100 TB
+    design scale (T ~ 1e13) that caps c_xy at ~1e8, which
+    ``min_count``-style collocations satisfy by definition (a bigram
+    approaching 1e8 occurrences is a stopword pair, not a collocation;
+    it still ranks LOW, it just saturates the x1e4 readout).
+
+    ``min_count`` prunes the hapax tail BEFORE the join (rare-pair PMI
+    is famously unstable — one co-occurrence of two hapaxes scores the
+    theoretical max) and bounds the topk sort input.
+
+    Scale notes: two map-side-combined aggregates over exploded tokens /
+    shingles (the counts), one broadcast-or-shuffled join of bigrams
+    against the unigram vocab on each side, one global top-k (ORDER BY
+    LIMIT — Spark's TakeOrderedAndProject, a per-partition heap + one
+    k-row collect, never a full sort).  T, B are driver scalars from
+    one count job each — bounded-collect class.
+
+    Returns (bigram, c_xy, c_x, c_y, pmi_ratio_x1e4), ranked by
+    (pmi_ratio_x1e4 DESC, bigram ASC) — deterministic ties.
+    """
+    from yatsm_spark.operators.dedup import shingle_array
+
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    uni = toks.groupBy("t").agg(F.count("*").alias("c"))
+    big = (
+        docs.select(F.explode(shingle_array(F.col(text_col), 2)).alias("xy"))
+        .groupBy("xy")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    t_total = toks.count()
+    b_total = docs.select(
+        F.sum(
+            F.greatest(F.size(F.split(F.col(text_col), " ")) - 1, F.lit(0))
+        ).alias("b")
+    ).first()["b"]
+    if broadcast_threshold is not None and uni.count() <= broadcast_threshold:
+        uni = F.broadcast(uni)
+    x = uni.select(F.col("t").alias("_x"), F.col("c").alias("c_x"))
+    y = uni.select(F.col("t").alias("_y"), F.col("c").alias("c_y"))
+    dec = "decimal(38,0)"
+    split_at = F.instr(F.col("xy"), " ")  # first space splits the bigram
+    num = (
+        F.col("c_xy").cast(dec)
+        * F.lit(int(t_total)).cast(dec)
+        * F.lit(int(t_total)).cast(dec)
+        * F.lit(10_000).cast(dec)
+    )
+    den = (
+        F.lit(int(b_total)).cast(dec)
+        * F.col("c_x").cast(dec)
+        * F.col("c_y").cast(dec)
+    )
+    exact = num - F.pmod(num, den)
+    return (
+        big.withColumn("_x", F.substring_index("xy", " ", 1))
+        .withColumn("_y", F.expr("substring(xy, instr(xy, ' ') + 1)"))
+        .join(x, "_x")
+        .join(y, "_y")
+        .select(
+            F.col("xy").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            (exact / den).cast("bigint").alias("pmi_ratio_x1e4"),
+        )
+        .orderBy(F.col("pmi_ratio_x1e4").desc(), F.col("bigram"))
+        .limit(topk)
     )
