@@ -341,11 +341,18 @@ def cm_sketch(
     sum(cnt) / depth, exactly divisible by construction).
 
     Scale notes (100 TB design):
-      * Counting first on (key, bucket, item) gives map-side partial
-        aggregation the duplicate traffic (the dominant volume — web
-        items repeat); the depth-way explode then multiplies DISTINCT
-        items only, and the second aggregate shuffles at most
-        depth * width slim cells per (key, bucket).
+      * Cells aggregate DIRECTLY from raw rows: explode each row's
+        depth indices, then ONE (key, bucket, idx) count with map-side
+        combine.  The combine map holds at most depth * width entries
+        per (key, bucket) — a few hundred slim longs — so duplicate
+        traffic is absorbed map-side at CELL granularity and the only
+        shuffle ships <= depth * width partial cells per (key, bucket,
+        input-partition).  An earlier per-(key, bucket, item) pre-count
+        was strictly worse: on high-cardinality items it shuffled a
+        corpus-sized nearly-unique string-keyed frame and paid a
+        pathological final hash-agg (measured 5.7 s vs 4.6 s min — and
+        far noisier — on 16M events at local[32]); exact per-item
+        counts live in cm_candidates, which genuinely needs them.
       * cm_cascade touches sketch rows only — the 30d heavy-hitter
         query never re-reads the raw tier.
       * Estimates are deterministic upper bounds (est >= true count,
@@ -359,23 +366,15 @@ def cm_sketch(
     the frequent-items family.
     """
     item = F.col(item_col).cast("string")
-    per_item = (
-        df.groupBy(
+    idxs = F.array(*[_cm_idx(item, r, width) for r in range(depth)])
+    cells = (
+        df.select(
             F.col(key_col),
             bucket_col(ts_col, tier).alias("bucket_ts"),
-            item.alias("_it"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    idxs = F.array(
-        *[_cm_idx(F.col("_it"), r, width) for r in range(depth)]
-    )
-    cells = (
-        per_item.select(
-            key_col, "bucket_ts", F.col("c"), F.explode(idxs).alias("idx")
+            F.explode(idxs).alias("idx"),
         )
         .groupBy(key_col, "bucket_ts", "idx")
-        .agg(F.sum("c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     return _cm_collect(cells, key_col, depth)
 
@@ -471,14 +470,11 @@ def cm_candidates(
     """
     from pyspark.sql import Window
 
-    per_item = (
-        df.groupBy(
-            F.col(key_col),
-            bucket_col(ts_col, tier).alias("bucket_ts"),
-            F.col(item_col).cast("string").alias("item"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    per_item = df.groupBy(
+        F.col(key_col),
+        bucket_col(ts_col, tier).alias("bucket_ts"),
+        F.col(item_col).cast("string").alias("item"),
+    ).agg(F.count(F.lit(1)).alias("c"))
     w1 = Window.partitionBy(key_col, "bucket_ts", "_pid").orderBy(
         F.col("c").desc(), F.col("item")
     )
