@@ -131,3 +131,44 @@ def test_sketch_sink_replay_is_exactly_once(spark, tmp_path):
         for r in read_sketch_tier(spark, tier, lambda s: kmv_cascade(s, "1h")).collect()
     )
     assert before == after
+
+
+def test_streamed_cm_tier_equals_batch_build(spark, tmp_path):
+    """Completes the streamed sketch families: the count-min counter
+    matrices are additive, so the streamed tier (per-batch cm_sketch +
+    same-tier cascade merge-on-read) is bit-equal to a one-shot batch
+    build on the same rows — and so is the heavy-hitter readout against
+    the same candidate stream."""
+    from yatsm_spark.operators.sketch import (
+        cm_candidates,
+        cm_cascade,
+        cm_sketch,
+        cm_topk,
+    )
+    from yatsm_spark.streaming.stream_sketch import (
+        read_sketch_tier,
+        sketch_batch_sink,
+    )
+
+    rows = _rows()
+    src = str(tmp_path / "src_cm")
+    for chunk in (rows[200:300], rows[:200], rows[300:]):
+        spark.createDataFrame(chunk, EV_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    tier = str(tmp_path / "cm_tier")
+    _run_stream(spark, src, sketch_batch_sink(tier, lambda df: cm_sketch(df, "1h")))
+
+    streamed = read_sketch_tier(spark, tier, lambda s: cm_cascade(s, "1h"))
+    full = spark.createDataFrame(rows, EV_SCHEMA)
+    direct = cm_sketch(full, "1h")
+    a = sorted((r[0], r[1], tuple(r[2]), tuple(r[3]), r[4]) for r in streamed.collect())
+    b = sorted((r[0], r[1], tuple(r[2]), tuple(r[3]), r[4]) for r in direct.collect())
+    assert a == b and len(a) > 3
+    # heavy-hitter readout agrees: cascade both to 1d and probe the
+    # same exact 1h candidates
+    cands = cm_candidates(full, "1h", m=4)
+    ta = sorted(map(tuple, cm_topk(cm_cascade(streamed, "1d"), cands, "1d", topk=3).collect()))
+    tb = sorted(map(tuple, cm_topk(cm_cascade(direct, "1d"), cands, "1d", topk=3).collect()))
+    assert ta == tb and len(ta) > 0

@@ -1,6 +1,7 @@
 """Streaming maintenance of the NON-ALGEBRAIC sketch tiers (§2.6 +
-operators/sketch.py): percentiles and distinct counts kept continuously
-up to date as crawls land, without re-reading raw history.
+operators/sketch.py): percentiles, distinct counts, and heavy-hitter
+counter matrices kept continuously up to date as crawls land, without
+re-reading raw history.
 
 The batch tier cascade carries cnt/sum/min/max exactly because they are
 algebraic; ``hist_sketch`` / ``kmv_sketch`` extend that to percentiles
@@ -56,8 +57,10 @@ def sketch_batch_sink(
     replay, per the deterministic batch->directory mapping).
 
     ``sketch_fn`` is the batch sketch builder partially applied, e.g.
-    ``lambda df: kmv_sketch(df, "1h")`` or ``lambda df:
-    hist_sketch(df, "1h")``.
+    ``lambda df: kmv_sketch(df, "1h")``, ``lambda df:
+    hist_sketch(df, "1h")``, or ``lambda df: cm_sketch(df, "1h")`` —
+    all three sketch families are mergeable, so all three stream
+    through the same sink (pinned bit-equal to batch by test each).
     """
 
     def write(df: DataFrame, batch_id: int) -> None:
