@@ -156,6 +156,32 @@ def _q_incr_merge_1h(spark, sf):
     )
 
 
+def _q_stitch_range(spark, sf):
+    """Tier-stitched range read, oracle-gated end to end: the range
+    [2024-01-03 07:00, 2024-01-27 19:00) is answered from the 1d tier
+    for the fully-contained interior days plus 1h tier rows for the two
+    ragged edges (rollup.stitch_range), then aggregated per user.  The
+    oracle aggregates the RAW events in the same range, so a green row
+    proves the stitch boundary algebra (ceil/floor day alignment, edge
+    half-open intervals) exact — the continuous-aggregate query path
+    every tiered TSDB serves reads from."""
+    from yatsm_spark.operators.rollup import stitch_range
+
+    ev = _t(spark, sf, "events").withColumn(
+        "iv", F.round(F.col("value") * 10000).cast("long")
+    )
+    t1h = rollup_series(ev, "1h", ("user_id",), "ts", "iv")
+    t1d = cascade_series(t1h, "1d", ("user_id",))
+    t0, t1 = 1704265200, 1706382000  # 2024-01-03 07:00 .. 2024-01-27 19:00
+    rows = stitch_range(t1h, t1d, t0, t1, 3600, 86400, keys=("user_id",))
+    return rows.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.sum("sum_val").cast("bigint").alias("sum_x1e4"),
+        F.min("min_val").cast("bigint").alias("min_x1e4"),
+        F.max("max_val").cast("bigint").alias("max_x1e4"),
+    )
+
+
 def _q_gap_fill_1h(spark, sf):
     tier = rollup_series(_t(spark, sf, "events"), "1h", ("user_id",), "ts", "value")
     return gap_fill_series(tier, "1h", ("user_id",)).select(
@@ -1338,12 +1364,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # codec/blob code untouched this round, codec_roundtrip stays as the
     # codec family's sentinel, and (making room for the NEW op
     # docs_collocations) rollup_1h — triple-green r1-r3, rollup.py tier
-    # code untouched this round, cascade_1d remains the tier family's
-    # in-window sentinel and rollup_1h is still timed every round by the
-    # driver bench (it is the headline metric query).
+    # code untouched this round, and rollup_1h is still timed every
+    # round by the driver bench (it is the headline metric query), and
+    # (making room for the NEW op stitch_range) cascade_1d — the new
+    # stitch_range query is a STRONGER tier sentinel: it exercises
+    # rollup_series + cascade_series 1h->1d + the tier-stitched range
+    # read, oracled against RAW events.
     # See COVERAGE.md for the matrix.
     return {
-        "cascade_1d": _q_cascade_1d,
+        "stitch_range": _q_stitch_range,
         "docs_collocations": _q_docs_collocations,
         "hampel_12": _q_hampel_12,
         "wau_7d": _q_wau_7d,
@@ -1396,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- below the driver's 50-query window (full-registry coverage
         # via scripts/check_oracle.py; all driver-green in r1-r3) ----
         "rollup_1h": _q_rollup_1h,
+        "cascade_1d": _q_cascade_1d,
         "blob_range_read": _q_blob_range_read,
         "cascade_30d": _q_cascade_30d,
         "retention_1h": _q_retention_1h,
@@ -1505,6 +1535,21 @@ SELECT user_id, {_b("bucket_ts", 2592000)} AS bucket_ts, CAST(sum(cnt) AS BIGINT
        round((round(sum(sum_val),4)+0)/sum(cnt),4)+0 AS mean_val,
        round(min(min_val),4)+0 AS min_val, round(max(max_val),4)+0 AS max_val
 FROM d1 GROUP BY 1, 2
+"""
+
+# stitch_range: the oracle never sees the tiers — it aggregates RAW
+# events inside the stitched window, so a green row proves the
+# coarse-interior + fine-edge decomposition exactly reproduces the raw
+# range aggregate.
+_STITCH_RANGE = """
+WITH e AS (
+  SELECT user_id, CAST(round(value * 10000, 0) AS BIGINT) AS iv FROM events
+  WHERE ts >= TIMESTAMP '2024-01-03 07:00:00'
+    AND ts <  TIMESTAMP '2024-01-27 19:00:00')
+SELECT user_id, count(*) AS cnt, CAST(sum(iv) AS BIGINT) AS sum_x1e4,
+       CAST(min(iv) AS BIGINT) AS min_x1e4,
+       CAST(max(iv) AS BIGINT) AS max_x1e4
+FROM e GROUP BY 1
 """
 
 _GAP_FILL_1H = f"""
@@ -3182,6 +3227,7 @@ def oracle_sql() -> dict[str, str]:
         # the strongest possible oracle for the incremental algebra
         # (integer-scaled so the equality is exact, not up-to-ulp):
         "incr_merge_1h": _INCR_MERGE_1H,
+        "stitch_range": _STITCH_RANGE,
         "gap_fill_1h": _GAP_FILL_1H,
         "locf_1h": _LOCF_1H,
         "interp_linear_1h": _INTERP_1H,

@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "wau_7d",
     # part-12: posting-list TF-IDF cosine all-pairs (3-gram terms)
     "tfidf_cosine",
+    # part-14/15: PMI collocations, tier-stitched range read
+    "docs_collocations",
+    "stitch_range",
 ]
 
 

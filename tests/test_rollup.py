@@ -187,3 +187,77 @@ def test_merge_tiers_equals_full_rollup(spark):
 
     a, b = cmp(merged), cmp(full)
     assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+
+# ------------------------------------------------------------ stitch_range
+
+
+def test_stitch_range_hand_values(spark):
+    """Interior days come from the coarse tier, ragged edges from the
+    fine tier, and the stitched aggregate equals the raw-range
+    aggregate exactly."""
+    from datetime import datetime, timedelta
+
+    from yatsm_spark.operators.rollup import stitch_range
+    from yatsm_spark.operators.series import cascade_series, rollup_series
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1)
+    # one obs per hour for 5 days, value = hour index
+    rows = [
+        ("k", t0 + timedelta(hours=h), h) for h in range(5 * 24)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    t1h = rollup_series(df, "1h", ("k",), "ts", "v")
+    t1d = cascade_series(t1h, "1d", ("k",))
+    # range [Jan 1 20:00, Jan 4 05:00): edges 20..23 and 72..76, interior
+    # Jan 2 + Jan 3 from the 1d tier
+    epoch = 1704067200  # 2024-01-01 00:00 UTC (session tz is pinned UTC)
+    lo = epoch + 20 * 3600
+    hi = epoch + 77 * 3600
+    rows_out = stitch_range(t1h, t1d, lo, hi, 3600, 86400, keys=("k",))
+    got = rows_out.groupBy("k").agg(
+        F.sum("cnt").alias("cnt"), F.sum("sum_val").alias("s"),
+        F.min("min_val").alias("mn"), F.max("max_val").alias("mx"),
+    ).first()
+    hours = list(range(20, 77))
+    assert (got["cnt"], got["s"], got["mn"], got["mx"]) == (
+        len(hours), sum(hours), min(hours), max(hours)
+    )
+    # exactly 2 coarse rows + (4 + 5) fine rows were touched
+    assert rows_out.count() == 2 + 4 + 5
+
+
+def test_stitch_range_degenerate_short_range(spark):
+    """A range shorter than one coarse bucket falls back to fine rows
+    only — never a wrong interior."""
+    from datetime import datetime, timedelta
+
+    from yatsm_spark.operators.rollup import stitch_range
+    from yatsm_spark.operators.series import cascade_series, rollup_series
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("k", t0 + timedelta(hours=h), h) for h in range(48)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    t1h = rollup_series(df, "1h", ("k",), "ts", "v")
+    t1d = cascade_series(t1h, "1d", ("k",))
+    epoch = 1704067200
+    lo = epoch + 5 * 3600
+    hi = epoch + 11 * 3600
+    out = stitch_range(t1h, t1d, lo, hi, 3600, 86400, keys=("k",))
+    assert out.count() == 6
+    s = out.agg(F.sum("sum_val")).first()[0]
+    assert s == sum(range(5, 11))
+
+
+def test_stitch_range_requires_alignment(spark):
+    import pytest as _pytest
+
+    from yatsm_spark.operators.rollup import stitch_range
+
+    df = spark.range(1).selectExpr("'k' AS k", "current_timestamp() AS bucket_ts",
+                                   "1L AS cnt", "1L AS sum_val", "1L AS min_val",
+                                   "1L AS max_val")
+    with _pytest.raises(ValueError):
+        stitch_range(df, df, 10, 7200, 3600, 86400, keys=("k",))

@@ -328,3 +328,54 @@ def merge_tiers(stored: DataFrame, delta: DataFrame) -> DataFrame:
         .withColumn("gap_filled", F.lit(False))
         .select(*CORE_COLS, "lang_dist", "gap_filled")
     )
+
+
+def stitch_range(
+    fine: DataFrame,
+    coarse: DataFrame,
+    t0: int,
+    t1: int,
+    fine_secs: int,
+    coarse_secs: int,
+    keys: tuple[str, ...] = ("url",),
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Tier-stitched range read: rows covering exactly [t0, t1) —
+    COARSE buckets for the fully-contained interior, FINE buckets for
+    the two edges — the continuous-aggregate "real-time stitch" every
+    tiered TSDB performs at query time (TimescaleDB hypertable reads,
+    Druid/M3 tiered retention).  The caller aggregates the union with
+    the same algebra as :func:`cascade`; because every tier column is
+    algebraic (cnt/sum/min/max), the stitched aggregate is EXACTLY the
+    aggregate of the raw rows in [t0, t1) — the driver oracle proves
+    that end to end from raw events.
+
+    ``t0``/``t1`` are epoch seconds and must be fine-bucket-aligned
+    (asserted): a tier can never answer below its own resolution.
+    Degenerate ranges (shorter than one coarse bucket, or with an
+    unaligned interior) fall back to fine rows only — lo/hi clamp makes
+    the interior empty, never wrong.
+
+    Scale notes (100 TB design):
+      * The point of the stitch: a 90-day range touches ~3 coarse rows
+        + <= 2*(coarse/fine - 1) fine rows PER KEY instead of ~2160
+        fine rows — and the ``ts_col`` range filters push down to the
+        tier storage (partition pruning on day-partitioned tiers;
+        row-group pruning on sorted parquet), so the scan reads only
+        the stitched window, not the retention history.
+      * No shuffle here at all: two pushed-down filtered scans and a
+        union; the aggregation that follows shuffles tier-sized rows.
+    """
+    if t0 % fine_secs or t1 % fine_secs:
+        raise ValueError("t0/t1 must be fine-bucket-aligned epoch seconds")
+    lo = ((t0 + coarse_secs - 1) // coarse_secs) * coarse_secs
+    hi = (t1 // coarse_secs) * coarse_secs
+    ts = F.unix_timestamp(F.col(ts_col))
+    cols = [*keys, ts_col, *[c for c in fine.columns if c not in (*keys, ts_col)]]
+    if lo >= hi:  # interior empty: the fine tier alone covers the range
+        return fine.select(cols).filter((ts >= t0) & (ts < t1))
+    mid = coarse.select(cols).filter((ts >= lo) & (ts < hi))
+    edges = fine.select(cols).filter(
+        ((ts >= t0) & (ts < lo)) | ((ts >= hi) & (ts < t1))
+    )
+    return mid.unionByName(edges)
