@@ -504,6 +504,18 @@ def _q_docs_simhash(spark, sf):
     return simhash_docs(_t(spark, sf, "documents"), bits=32)
 
 
+def _q_simhash_neardup(spark, sf):
+    """SimHash near-dup pairs (Manku WWW 2007 form): pigeonhole banding
+    (LOSSLESS for hamming <= k < bands) + exact bit_count(xor) verify —
+    HASH-CHECKED against a brute-force all-pairs DuckDB twin, proving
+    the banded candidate set misses nothing."""
+    from yatsm_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf, "documents"), bits=32, bands=4, max_hamming=3
+    )
+
+
 def _q_emb_norms(spark, sf):
     emb = _t(spark, sf, "embeddings")
     dot = F.aggregate(
@@ -1369,7 +1381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (making room for the NEW op stitch_range) cascade_1d — the new
     # stitch_range query is a STRONGER tier sentinel: it exercises
     # rollup_series + cascade_series 1h->1d + the tier-stitched range
-    # read, oracled against RAW events.
+    # read, oracled against RAW events, and (making room for the NEW op
+    # simhash_neardup) codec_roundtrip — quadruple-green (r1-r3 driver +
+    # every full-registry local sweep), codec.py/blobs.py untouched
+    # since round 3; a never-driver-checked NEW operator outranks a
+    # stale sentinel for the one driver slot.
     # See COVERAGE.md for the matrix.
     return {
         "stitch_range": _q_stitch_range,
@@ -1401,7 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "counter_increase_1h": _q_counter_increase_1h,
         "jsonl_ingest": _q_jsonl_ingest,
-        "codec_roundtrip": _q_codec_roundtrip,
+        "simhash_neardup": _q_simhash_neardup,
         "tfidf_cosine": _q_tfidf_cosine,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_guarded": _q_minhash_lsh_guarded,
@@ -1426,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via scripts/check_oracle.py; all driver-green in r1-r3) ----
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
+        "codec_roundtrip": _q_codec_roundtrip,
         "blob_range_read": _q_blob_range_read,
         "cascade_30d": _q_cascade_30d,
         "retention_1h": _q_retention_1h,
@@ -1941,6 +1958,30 @@ bits AS (
 SELECT doc_id,
        CAST(sum(CASE WHEN v > 0 THEN power(2, bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
+"""
+
+# simhash_neardup: the oracle is BRUTE FORCE — every pair with
+# popcount(xor) <= 3 over the replayed 32-bit simhashes — so a green row
+# proves the banded candidate generation lossless, not just consistent.
+# (No max_bucket in the query: at sf0.01 no band bucket is degenerate,
+# so the guardless banded set must equal the exhaustive set.)
+_SIMHASH_NEARDUP = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+bits AS (
+  SELECT doc_id, idx.i AS bit,
+         sum(CASE WHEN (hv >> CAST(idx.i AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) idx
+  GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN power(2, bit) ELSE 0 END) AS BIGINT) AS sh
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """
 
 _SALTED = """
@@ -3259,6 +3300,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_jaccard_pairs": _DOCS_JACCARD,
         "docs_minhash_sigs": _DOCS_MINHASH,
         "docs_simhash32": _DOCS_SIMHASH,
+        "simhash_neardup": _SIMHASH_NEARDUP,
         "emb_norms": _EMB_NORMS,
         "emb_ann_topk": _EMB_ANN,
         "emb_cosine_neardup": _EMB_NEARDUP,

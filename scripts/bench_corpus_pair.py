@@ -69,6 +69,42 @@ def io_probe_mbps() -> float:
     return round(64 / dt, 1)
 
 
+def run_tfidf_once(crawl_path: str, cores: int) -> dict:
+    """One tfidf_cosine_pairs pass (3-gram terms, df-capped posting
+    join) with a real warm scan first — N-vs-4N evidence for the
+    part-12 similarity operator."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.terms import tfidf_cosine_pairs
+    from yatsm_spark.session import get_spark
+
+    probe = io_probe_mbps()
+    spark = get_spark(
+        f"tfidf_pair{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 32),
+    )
+    docs = spark.read.parquet(crawl_path).select(
+        F.xxhash64("url", "warc_ts").alias("doc_id"), "text"
+    )
+    docs.agg(F.max("doc_id"), F.max(F.length("text"))).collect()
+    n = docs.count()
+    t0 = time.time()
+    pairs = tfidf_cosine_pairs(
+        docs, threshold=(1, 2), max_df=1024, ngram=3
+    )
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "suite": "tfidf",
+        "cores": cores,
+        "wall": round(wall, 2),
+        "snapshot": n,
+        "n_pairs": n_pairs,
+        "io_probe_mbps": probe,
+    }
+
+
 def run_once(crawl_path: str, cores: int) -> dict:
     """One full clean_corpus pass; returns wall + stage metrics.
 
@@ -131,10 +167,14 @@ def summarize(out_path: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=120000)
-    ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--out", default=None)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--suite", choices=("corpus", "tfidf"), default="corpus")
     ap.add_argument("--summarize", action="store_true")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = (DEFAULT_OUT if args.suite == "corpus"
+                    else DEFAULT_OUT.replace(".jsonl", "_tfidf.jsonl"))
 
     if args.summarize:
         summarize(args.out)
@@ -142,10 +182,11 @@ def main() -> None:
 
     crawl_path = ensure_data(args.docs)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    once = run_once if args.suite == "corpus" else run_tfidf_once
     # low cores first: if co-tenant noise ramps mid-pair it penalizes the
     # HIGH leg, biasing efficiency DOWN — conservative for a PASS claim
     for cores in (int(x) for x in args.levels.split(",")):
-        r = run_once(crawl_path, cores)
+        r = once(crawl_path, cores)
         print(json.dumps(r), file=sys.stderr)
         with open(args.out, "a") as fh:
             fh.write(json.dumps(r) + "\n")

@@ -721,3 +721,52 @@ def test_kmeans_exact_partitioning_invariant(spark):
     a = sorted(kmeans_exact(df1, k=4, n_iter=2, dim=4).collect())
     b = sorted(kmeans_exact(df2, k=4, n_iter=2, dim=4).collect())
     assert a == b
+
+
+# ---------------------------------------------------- simhash_neardup_pairs
+
+
+def test_simhash_neardup_banding_is_lossless(spark):
+    """Pigeonhole property, end to end: the banded+verified pair set
+    equals the brute-force all-pairs Hamming<=k set on the same
+    signatures."""
+    from itertools import combinations
+
+    from yatsm_spark.operators.dedup import simhash_docs, simhash_neardup_pairs
+
+    rows = [(i, f"w{i % 7} w{(i * 3) % 11} common tokens here x{i % 4}")
+            for i in range(40)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta"),
+             (102, "alpha beta gamma delta epsilon")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(d, max_hamming=3).collect()
+    )
+    sh = {r.doc_id: r.simhash for r in simhash_docs(d, bits=32).collect()}
+    want = sorted(
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a, b in combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    )
+    assert got == want
+    assert (100, 101, 0) in got  # identical docs collide exactly
+
+
+def test_simhash_neardup_guard_and_validation(spark):
+    import pytest as _pytest
+
+    from yatsm_spark.operators.dedup import simhash_neardup_pairs
+
+    d = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    # three identical docs share every band; max_bucket=2 drops those
+    # buckets entirely (documented recall loss on degenerate clusters)
+    assert simhash_neardup_pairs(d, max_bucket=2).count() == 0
+    assert simhash_neardup_pairs(d).count() == 3  # all pairs, hamming 0
+    with _pytest.raises(ValueError):
+        simhash_neardup_pairs(d, bands=4, max_hamming=4)
+    with _pytest.raises(ValueError):
+        simhash_neardup_pairs(d, bits=32, bands=5)

@@ -676,3 +676,91 @@ def paragraph_dedup(
             F.coalesce("_n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: all (id_a < id_b) with Hamming distance
+    <= ``max_hamming`` between ``bits``-bit SimHashes — the BITWISE
+    member of the near-dup family (MinHash = set overlap, TF-IDF
+    cosine = weighted bag-of-words, embeddings = dense semantic),
+    i.e. Manku et al. WWW 2007's web-dedup formulation re-derived.
+
+    Candidate generation is pigeonhole banding: split the hash into
+    ``bands`` equal bit-ranges; two hashes within Hamming distance
+    k < bands MUST agree on at least one whole band (at most k of the
+    bands can contain a differing bit), so an equi-join on
+    (band_index, band_value) finds EVERY qualifying pair — banding is
+    lossless for the verified predicate, unlike MinHash-LSH's
+    probabilistic bands.  Candidates then verify with the exact
+    JVM-side popcount bit_count(xor) <= k; no false positives survive.
+
+    ``max_bucket`` is the boilerplate guard (same role as
+    ngram_jaccard's max_shingle_freq): a band value shared by a
+    corpus-sized near-identical cluster makes the band join quadratic,
+    so buckets above the cap are DROPPED (documented recall loss on
+    exactly those degenerate clusters — use minhash_lsh_pairs'
+    star-guard path for transitive clustering of boilerplate).
+
+    Scale notes (100 TB design): signatures are map-side (simhash64 is
+    one aggregate() fold per row); the ONLY shuffles are the slim
+    (r, v, id, sh) band explode (bands x one 16-byte row per doc) and
+    the band equi-join, quadratic-risk bounded by max_bucket; the
+    verify is a row-local expression, and pair dedup keys on
+    (id_a, id_b) AFTER the cheap popcount filter.
+
+    Returns (id_a, id_b, hamming).
+    """
+    from yatsm_spark.functions.textops import simhash64
+
+    if bits % bands:
+        raise ValueError("bits must divide into equal bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming < bands "
+            f"(got k={max_hamming}, bands={bands})"
+        )
+    bw = bits // bands
+    mask = (1 << bw) - 1
+    sig = docs.select(
+        F.col(id_col).alias("id"), simhash64(text_col, bits).alias("sh")
+    )
+    bnd = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.shiftrightunsigned("sh", r * bw)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for r in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", F.col("b.r").alias("r"), F.col("b.v").alias("v"))
+    if max_bucket is not None:
+        sizes = bnd.groupBy("r", "v").agg(F.count("*").alias("_n"))
+        bnd = bnd.join(
+            sizes.filter(F.col("_n") <= max_bucket).drop("_n"), ["r", "v"]
+        )
+    a = bnd.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "r", "v")
+    b = bnd.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "r", "v")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["r", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .distinct()
+    )
