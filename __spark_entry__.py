@@ -965,13 +965,15 @@ def _q_tfidf_cosine(spark, sf):
     """All-pairs sparse TF-IDF cosine similarity (posting-list join,
     Bayardo WWW 2007 family) with quantized-log2 idf and a df cap —
     HASH-CHECKED: the oracle re-derives weights, dots, and norms from
-    raw text in HUGEINT.  Terms are word 3-grams (the documents vocab
-    is ~31 unigrams — every unigram is a stopword; same small-vocab
-    reasoning as docs_dup_spans)."""
+    raw text in HUGEINT.  Terms are HASHED word 3-grams (the documents
+    vocab is ~31 unigrams — every unigram is a stopword; same
+    small-vocab reasoning as docs_dup_spans), portable tier so the
+    oracle replays the polynomial shingle hash bit-for-bit."""
     from yatsm_spark.operators.terms import tfidf_cosine_pairs
 
     return tfidf_cosine_pairs(
-        _t(spark, sf, "documents"), threshold=(1, 2), max_df=150, ngram=3
+        _t(spark, sf, "documents"), threshold=(1, 2), max_df=150, ngram=3,
+        hash_fn="portable",
     )
 
 
@@ -2223,11 +2225,12 @@ FROM agg a CROSS JOIN n
 # tfidf_cosine: weights, dots, and norms re-derived from raw text in
 # HUGEINT; idf_q = bitlen(N) - bitlen(df) via bin(); floor-div // is
 # exact on HUGEINT, mirroring the query's pmod-strip route.  Terms are
-# word 3-grams (_kgram_expr); max_df and threshold p/q match
-# _q_tfidf_cosine (150, 1/2).
+# HASHED word 3-grams — the portable polynomial shingle hash replayed
+# by _HASH_SHINGLES_CTE (multiset: repeats stay); max_df and threshold
+# p/q match _q_tfidf_cosine (150, 1/2).
 _TFIDF_COSINE = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-tok AS (SELECT doc_id, unnest({_kgram_expr(3)}) AS t FROM w),
+WITH {_HASH_SHINGLES_CTE},
+tok AS (SELECT doc_id, unnest(s) AS t FROM hsh),
 tc AS (SELECT doc_id AS id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
 v AS (SELECT t, count(*) AS df FROM tc GROUP BY t),
 n AS (SELECT count(*) AS n FROM documents),

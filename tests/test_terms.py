@@ -190,3 +190,18 @@ def test_collocations_topk_and_fallback(spark):
         ).collect()
     ]
     assert bc == sh
+
+
+def test_cosine_pairs_hash_tier_parity(cdocs, spark):
+    # pair-set semantics are hash-agnostic: portable (md5, oracle tier)
+    # and fast (xxhash64, production tier) produce identical pairs and
+    # scores — term identity is all the algebra consumes
+    d = spark.createDataFrame(
+        [(0, "p q r s"), (1, "p q r t"), (2, "z z z z")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, tfidf_cosine_pairs(
+        d, threshold=(1, 5), ngram=3, hash_fn="portable").collect()))
+    b = sorted(map(tuple, tfidf_cosine_pairs(
+        d, threshold=(1, 5), ngram=3, hash_fn="fast").collect()))
+    assert a == b == [(0, 1, 1, 4_000_000)]
