@@ -85,9 +85,11 @@ BENCH_QUERIES = [
     "wau_7d",
     # part-12: posting-list TF-IDF cosine all-pairs (3-gram terms)
     "tfidf_cosine",
-    # part-14/15: PMI collocations, tier-stitched range read
+    # part-14/15/17: PMI collocations, tier-stitched range read,
+    # simhash banded near-dup pairs
     "docs_collocations",
     "stitch_range",
+    "simhash_neardup",
 ]
 
 

@@ -37,22 +37,25 @@ from yatsm_spark.functions.textops import (
 def shingle_rows(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Distinct word k-shingles as rows (id, s).
+    """Distinct word k-shingles as rows (id, s) — ZERO shuffle.
 
     Array-level shingling (:func:`shingle_array` — map-side, O(k*T) per
-    doc) exploded straight to rows; the only wide stage left is the
-    distinct itself.  This replaces the posexplode+window-lead form,
-    which shuffle-SORTED every token row before forming shingles (same
-    output, one whole extra wide stage; at 480k docs / 144M shingles the
-    window sort dominated the LSH-pair stage).  The naive per-element
-    element_at form remains off the table — Catalyst re-inlines split()
-    into every element, O(T^2) per row (measured 5x slower at 5k docs);
-    zip_with of k offset slices re-evaluates split() only k times per ROW.
+    doc) deduped ARRAY-LOCALLY before the explode: distinct over
+    (id, s) pairs IS per-document distinct, and a document's shingles
+    all live in one row, so the former corpus-wide ``.distinct()``
+    exchange never needed to exist.  (History: this started as
+    posexplode+window-lead, which shuffle-SORTED every token row before
+    forming shingles — at 480k docs / 144M shingles the window sort
+    dominated the LSH-pair stage — then array-shingling + global
+    distinct, now fully map-side.  The naive per-element element_at
+    form remains off the table — Catalyst re-inlines split() into every
+    element, O(T^2) per row, measured 5x slower at 5k docs; zip_with of
+    k offset slices re-evaluates split() only k times per ROW.)
     """
     return docs.select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_array(text_col, k)).alias("s"),
-    ).distinct()
+        F.explode(F.array_distinct(shingle_array(text_col, k))).alias("s"),
+    )
 
 
 def exact_dedup(
@@ -83,23 +86,66 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by k-shingle Jaccard similarity >= threshold.
 
-    explode -> self-join on shingle -> pair intersection counts ->
+    The FUSED posting-list form (the tfidf_cosine_pairs plan shape):
+    per-doc DISTINCT shingles are computed ARRAY-LOCALLY
+    (array_distinct of :func:`shingle_array` — a doc's shingles live in
+    one row, so the former corpus-wide ``.distinct()`` exchange never
+    needed to exist), each surviving shingle's posting list is built by
+    ONE groupBy(shingle) collect, and intersection candidates are
+    generated MAP-SIDE from each bounded list instead of shuffling the
+    posting set twice more through an a x b self-join.  Pair counts ->
     |A∪B| = |A| + |B| - |A∩B|.  Returns (id_a, id_b, jaccard) with
-    id_a < id_b.  ``max_shingle_freq`` prunes super-frequent shingles
-    before the join (scale guard; None = exact).  Sizes are computed from
-    the PRUNED shingle universe so numerator and denominator agree —
-    computing |A| pre-prune would bias jaccard low for docs rich in
-    frequent shingles and drop genuine near-dups below threshold.
+    id_a < id_b (the pair SET is independent of collect order: each
+    unordered {x, y} emits exactly one least/greatest struct).
+
+    ``max_shingle_freq`` prunes super-frequent shingles BEFORE the
+    posting collect (scale guard — it also bounds every collected list
+    at max_shingle_freq entries; None = exact, which at corpus scale
+    concentrates a stopword shingle's full posting list in one task —
+    the same O(f^2) bomb the old self-join streamed — so production
+    runs arm the guard; MinHash+LSH is the stated scale path).  Sizes
+    are computed from the PRUNED shingle universe so numerator and
+    denominator agree — computing |A| pre-prune would bias jaccard low
+    for docs rich in frequent shingles and drop genuine near-dups below
+    threshold; with no guard, sizes are doc-local (zero shuffle).
     """
-    ex = shingle_rows(docs, k, id_col, text_col)
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_array(text_col, k)).alias("sh"),
+    )
+    ex = sh.select("id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
         freq = ex.groupBy("s").agg(F.count("*").alias("f"))
         ex = ex.join(freq.filter(F.col("f") <= max_shingle_freq), "s", "left_semi")
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = ex.alias("a"), ex.alias("b")
+        sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sh.select("id", F.size("sh").alias("n_sh"))
+
+    def pair_array(ids: F.Column) -> F.Column:
+        n = F.size(ids)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n),
+                    lambda j: F.struct(
+                        F.least(
+                            F.element_at(ids, i), F.element_at(ids, j)
+                        ).alias("id_a"),
+                        F.greatest(
+                            F.element_at(ids, i), F.element_at(ids, j)
+                        ).alias("id_b"),
+                    ),
+                ),
+            )
+        )
+
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        ex.groupBy("s")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_array(F.col("ids"))).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))

@@ -51,15 +51,14 @@ from yatsm_spark.operators.quality import _x1e4
 
 
 def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, t, tf) — per-document term counts (whitespace tokens)."""
-    return (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(text_col, " ")).alias("t"),
-        )
-        .groupBy("id", "t")
-        .agg(F.count("*").alias("tf"))
-    )
+    """(id, t, tf) — per-document term counts (whitespace tokens),
+    computed ARRAY-LOCALLY via :func:`_term_tf_array`: zero shuffle
+    (the former explode -> groupBy(id, t) was a corpus-sized exchange
+    that map-side combine could not shrink — terms are near-unique)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_term_tf_array(F.col(text_col), 1, "fast")).alias("s"),
+    ).select("id", F.col("s.t").alias("t"), F.col("s.tf").alias("tf"))
 
 
 def term_doc_freq(
@@ -161,6 +160,64 @@ def commonness_score(
     )
 
 
+def _term_tf_array(
+    text_col: F.Column, ngram: int, hash_fn: str
+) -> F.Column:
+    """Per-document term counts as ``array<struct<t,tf>>`` — computed
+    ARRAY-LOCALLY, zero shuffle.  A document's terms all live in one
+    row, so per-doc tf is a doc-local computation: sort the term array,
+    run-length encode (run starts via an index filter, run lengths via
+    next-start arithmetic).  This replaces the former
+    ``groupBy(id, term).count()`` — a corpus-sized exchange that
+    map-side combine could not shrink (measured 25.2M distinct terms in
+    34.6M postings at 120k docs: terms are near-unique, so the partial
+    agg passed ~everything through).
+
+    Every array reference inside a lambda is BOUND as a lambda variable
+    first (the transform-of-singleton-array trick, see
+    ``shingle_hash_array``): HOFs are interpreted without CSE, so a raw
+    expression reference would re-sort the array once per element.
+
+    ``ngram`` = 1 tokenizes on single spaces exactly like
+    :func:`_doc_terms` (empty text yields the one empty-string token;
+    null text yields null -> explode drops the doc); ``ngram`` > 1 uses
+    hashed word n-grams (:func:`shingle_hash_array`, string-free).
+    """
+    if ngram > 1:
+        from yatsm_spark.operators.dedup import shingle_hash_array
+
+        terms = shingle_hash_array(text_col, ngram, hash_fn)
+        t_type = "array<struct<t:bigint,tf:long>>"
+    else:
+        terms = F.split(text_col, " ")
+        t_type = "array<struct<t:string,tf:long>>"
+
+    def build(s: F.Column) -> F.Column:
+        n = F.size(s)
+        starts = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda pos: F.when(pos == 1, F.lit(True)).otherwise(
+                F.element_at(s, pos) != F.element_at(s, pos - 1)
+            ),
+        )
+
+        def emit(st: F.Column) -> F.Column:
+            return F.transform(
+                st,
+                lambda pos, j: F.struct(
+                    F.element_at(s, pos).alias("t"),
+                    (F.coalesce(F.try_element_at(st, j + 2), n + 1) - pos)
+                    .cast("long")
+                    .alias("tf"),
+                ),
+            )
+
+        pairs = F.element_at(F.transform(F.array(starts), emit), 1)
+        return F.when(n <= 0, F.expr("array()").cast(t_type)).otherwise(pairs)
+
+    return F.element_at(F.transform(F.array(F.array_sort(terms)), build), 1)
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -198,22 +255,41 @@ def tfidf_cosine_pairs(
     the standard df-cap every inverted-index join applies).  Pairs per
     surviving term are <= max_df^2 by construction.
 
-    Scale notes (100 TB design):
-      * One (id, term) aggregate (map-side combined), one vocab join
-        (broadcast under threshold — Heaps' law, see module docstring),
-        ONE posting self-join keyed on term (the only quadratic-risk
-        shuffle, bounded by max_df), one (id_a, id_b) aggregate, two
-        slim norm joins.
-      * Norms are per-doc scalars — the join is many-to-one on id and
+    Scale notes (100 TB design) — the FUSED posting-list form.  Stage
+    probes at 120k docs/local[8] put 42% of the wall in the former
+    explode -> groupBy(id, term) count (a corpus-sized exchange that
+    map-side combine cannot shrink: 25.2M of 34.6M postings were
+    distinct terms) and shuffled the posting set TWICE more through
+    the a x b self-join.  This form exchanges the posting set ONCE:
+      * Per-doc tf is computed ARRAY-LOCALLY (:func:`_term_tf_array`,
+        zero shuffle) — a document's terms live in one row, so its
+        term counts never needed a cluster-wide aggregate.
+      * One slim vocab aggregate (term -> df; 8-byte hashed keys for
+        ngram > 1), broadcast under ``broadcast_threshold`` (Heaps'
+        law, see module docstring).  The df <= max_df guard filters
+        BEFORE the posting-list collect, so no collected list can
+        exceed max_df entries — the stopword memory bomb is pruned a
+        stage early, not after materialization.
+      * ONE groupBy(term) collect_list builds each surviving posting
+        list; pairs are generated MAP-SIDE from each bounded list
+        (nested transform + flatten, <= C(max_df, 2) structs per term,
+        ~0.5M at the default 1000).  The pair SET is independent of
+        collect_list's arrival order: each unordered {x, y} emits
+        exactly one (least, greatest) struct and dot sums are
+        decimal-exact commutative adds.
+      * Norms are a per-doc scalar aggregate over the posts (partial
+        agg collapses doc-local rows map-side — the exchange carries
+        ~1 row/doc); the final norm joins are id-keyed many-to-one and
         AQE broadcasts at small SF.
       * SIZE spark.sql.shuffle.partitions TO THE PAIR VOLUME: the
         (id_a, id_b) aggregate holds up to sum(df^2)/2 groups and AQE
         can coalesce but never split an under-partitioned aggregate —
         measured 569.6 s -> 258.8 s (2.2x) on 480k docs / 138M pair
         groups at local[32] going from 32 to 128 shuffle partitions
-        (partial-map spill was the super-linearity; the candidate
-        volume itself grows exactly linearly with corpus size on a
-        stable df distribution — verified 4.00x at 4x docs).
+        on the pre-fusion form (partial-map spill was the
+        super-linearity; the candidate volume itself grows exactly
+        linearly with corpus size on a stable df distribution —
+        verified 4.00x at 4x docs).
 
     ``ngram`` > 1 switches the term dimension from unigrams to word
     n-grams — the right setting for small-vocabulary corpora where
@@ -233,21 +309,10 @@ def tfidf_cosine_pairs(
     Returns (id_a, id_b, dot, sim_sq_x1e8), id_a < id_b.
     """
     p, q = threshold
-    if ngram > 1:
-        from yatsm_spark.operators.dedup import shingle_hash_array
-
-        tc = (
-            docs.select(
-                F.col(id_col).alias("id"),
-                F.explode(
-                    shingle_hash_array(F.col(text_col), ngram, hash_fn)
-                ).alias("t"),
-            )
-            .groupBy("id", "t")
-            .agg(F.count("*").alias("tf"))
-        )
-    else:
-        tc = _doc_terms(docs, id_col, text_col)
+    tc = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_term_tf_array(F.col(text_col), ngram, hash_fn)).alias("s"),
+    ).select("id", F.col("s.t").alias("t"), F.col("s.tf").alias("tf"))
     vocab = tc.groupBy("t").agg(F.count("*").alias("df"))
     n_docs = docs.count()
     if broadcast_threshold is not None and vocab.count() <= broadcast_threshold:
@@ -267,11 +332,40 @@ def tfidf_cosine_pairs(
     norms = posts.groupBy("id").agg(
         F.sum(F.col("w").cast(dec) * F.col("w").cast(dec)).alias("n2")
     )
-    a = posts.select(F.col("id").alias("id_a"), "t", F.col("w").alias("wa"))
-    b = posts.select(F.col("id").alias("id_b"), "t", F.col("w").alias("wb"))
+    # one posting collect per term (bounded <= max_df by the df guard),
+    # pairs generated map-side from each list
+    lists = (
+        posts.groupBy("t")
+        .agg(F.collect_list(F.struct("id", "w")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+
+    def pair_array(ps: F.Column) -> F.Column:
+        n = F.size(ps)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n),
+                    lambda j: F.struct(
+                        F.least(
+                            F.element_at(ps, i)["id"], F.element_at(ps, j)["id"]
+                        ).alias("id_a"),
+                        F.greatest(
+                            F.element_at(ps, i)["id"], F.element_at(ps, j)["id"]
+                        ).alias("id_b"),
+                        # wa*wb is symmetric — no need to track which
+                        # weight followed the least id
+                        F.element_at(ps, i)["w"].alias("wa"),
+                        F.element_at(ps, j)["w"].alias("wb"),
+                    ),
+                ),
+            )
+        )
+
     dots = (
-        a.join(b, "t")
-        .filter(F.col("id_a") < F.col("id_b"))
+        lists.select(F.explode(pair_array(F.col("ps"))).alias("p"))
+        .select("p.*")
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("wa").cast(dec) * F.col("wb").cast(dec)).alias("dot"))
     )
