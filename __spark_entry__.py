@@ -2426,11 +2426,12 @@ d AS (
          lag(vu) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
   FROM s)
 SELECT user_id, {_b('ts', 3600)} AS bucket_ts,
-       sum(CASE WHEN pv IS NULL THEN 0
+       CAST(sum(CASE WHEN pv IS NULL THEN 0
                 WHEN vu - pv >= 0 THEN vu - pv
-                ELSE vu END) AS increase_u,
+                ELSE vu END) AS BIGINT) AS increase_u,
        count(*) AS n_obs,
-       sum(CASE WHEN pv IS NOT NULL AND vu - pv < 0 THEN 1 ELSE 0 END) AS n_resets
+       CAST(sum(CASE WHEN pv IS NOT NULL AND vu - pv < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resets
 FROM d GROUP BY 1, 2
 """
 
@@ -2468,7 +2469,7 @@ scored AS (
                  + (n.n_tokens - coalesce(se.n_seen, 0)) * l.oov_w AS score
   FROM ntok n CROSS JOIN labels l
   LEFT JOIN seen se ON se.doc_id = n.doc_id AND se.label = l.label)
-SELECT doc_id, label AS pred_label, score FROM (
+SELECT doc_id, label AS pred_label, CAST(score AS BIGINT) AS score FROM (
   SELECT scored.*,
          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
   FROM scored)
@@ -2517,7 +2518,7 @@ pos AS (
 agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(pw) AS sum_w FROM pos GROUP BY 1)
 SELECT t.doc_id,
        coalesce(a.n_bigrams, 0) AS n_bigrams,
-       coalesce(a.sum_w, 0) AS sum_w
+       CAST(coalesce(a.sum_w, 0) AS BIGINT) AS sum_w
 FROM test t LEFT JOIN agg a USING (doc_id)
 """
 
@@ -2565,7 +2566,7 @@ agg AS (
   FROM rfe f LEFT JOIN lam l ON l.bucket = f.bucket GROUP BY 1)
 SELECT r.doc_id,
        coalesce(a.n_feats, 0) AS n_feats,
-       coalesce(a.logratio_sum, 0) AS logratio_sum
+       CAST(coalesce(a.logratio_sum, 0) AS BIGINT) AS logratio_sum
 FROM raw r LEFT JOIN agg a USING (doc_id)
 """
 
@@ -3114,7 +3115,7 @@ d2s AS (
          list_sum(list_transform(list_zip(p.xu, c.cu),
                                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
   FROM pts p CROSS JOIN c1 c)
-SELECT n_id, cid AS cluster, d2 FROM (
+SELECT n_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2 FROM (
   SELECT n_id, cid, d2,
          row_number() OVER (PARTITION BY n_id ORDER BY d2, cid) AS rn
   FROM d2s) WHERE rn = 1

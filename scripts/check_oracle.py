@@ -73,6 +73,21 @@ def main() -> int:
                 print(f"WARN {name}: 0 rows")
             continue
         try:
+            rel = con.sql(oracles[name])
+            # The driver's hash path renders DuckDB HUGEINT as float while
+            # Spark emits bigint — fetchall() hides this (Python int both
+            # ways), so gate on the declared relation types instead.
+            hug = [
+                c for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
+            if hug:
+                print(
+                    f"FAIL {name}: oracle columns typed HUGEINT {hug} — "
+                    "the driver hashes these as float; CAST(... AS BIGINT)"
+                )
+                failures.append(name)
+                continue
             cur = con.execute(oracles[name])
             raw_cols = [d[0] for d in cur.description]
             raw = cur.fetchall()
