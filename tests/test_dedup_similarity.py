@@ -770,3 +770,16 @@ def test_simhash_neardup_guard_and_validation(spark):
         simhash_neardup_pairs(d, bands=4, max_hamming=4)
     with _pytest.raises(ValueError):
         simhash_neardup_pairs(d, bits=32, bands=5)
+
+
+def test_jaccard_no_self_pairs_on_duplicate_id_rows(spark):
+    # duplicated doc_id rows (violating the documented unique-id
+    # precondition) must never surface as a self-pair — the
+    # id_a != id_b filter is the hard guarantee (ADVICE r4)
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (1, "a b c d"), (2, "a b c e")],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(d, k=3, threshold=0.0).collect()
+    assert all(r["id_a"] != r["id_b"] for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)

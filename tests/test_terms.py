@@ -205,3 +205,15 @@ def test_cosine_pairs_hash_tier_parity(cdocs, spark):
     b = sorted(map(tuple, tfidf_cosine_pairs(
         d, threshold=(1, 5), ngram=3, hash_fn="fast").collect()))
     assert a == b == [(0, 1, 1, 4_000_000)]
+
+
+def test_cosine_pairs_no_self_pairs_on_duplicate_id_rows(spark):
+    # duplicated doc_id rows must never emit an id_a == id_b pair
+    # (r4 ADVICE: least/greatest over a posting list holding the same
+    # id twice used to pass the threshold as a self-pair)
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (1, "a b c d"), (2, "x y z w")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(d, threshold=(1, 100)).collect()
+    assert all(r["id_a"] != r["id_b"] for r in rows)

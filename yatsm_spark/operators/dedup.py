@@ -51,6 +51,12 @@ def shingle_rows(
     form remains off the table — Catalyst re-inlines split() into every
     element, O(T^2) per row, measured 5x slower at 5k docs; zip_with of
     k offset slices re-evaluates split() only k times per ROW.)
+
+    Precondition: ``id_col`` unique per row.  array_distinct is per-ROW,
+    so duplicated doc-id rows yield duplicated (id, s) pairs — counts
+    built on these rows (e.g. decontaminate's n_hits) would double; the
+    old corpus-wide .distinct() silently absorbed that, this form
+    documents it instead of paying the exchange.
     """
     return docs.select(
         F.col(id_col).alias("id"),
@@ -100,14 +106,21 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq`` prunes super-frequent shingles BEFORE the
     posting collect (scale guard — it also bounds every collected list
-    at max_shingle_freq entries; None = exact, which at corpus scale
-    concentrates a stopword shingle's full posting list in one task —
-    the same O(f^2) bomb the old self-join streamed — so production
-    runs arm the guard; MinHash+LSH is the stated scale path).  Sizes
-    are computed from the PRUNED shingle universe so numerator and
-    denominator agree — computing |A| pre-prune would bias jaccard low
-    for docs rich in frequent shingles and drop genuine near-dups below
-    threshold; with no guard, sizes are doc-local (zero shuffle).
+    at max_shingle_freq entries; None = exact; MinHash+LSH is the
+    stated scale path).  Pair emission is CHUNKED: the outer index is
+    posexploded into one row per posting entry BEFORE the inner pair
+    transform, so a task holds O(f) structs at a time, never the
+    C(f, 2) block the pre-r5 flatten materialized per shingle — an
+    unguarded (None) run on a stopword shingle is slow, not an
+    executor-OOM.  Sizes are computed from the PRUNED shingle universe
+    so numerator and denominator agree — computing |A| pre-prune would
+    bias jaccard low for docs rich in frequent shingles and drop
+    genuine near-dups below threshold; with no guard, sizes are
+    doc-local (zero shuffle).
+
+    Precondition: ``id_col`` unique per row.  Duplicate-id rows would
+    double-count intersections and fan out the sizes join; the
+    id_a != id_b filter guarantees no self-pair survives regardless.
     """
     sh = docs.select(
         F.col(id_col).alias("id"),
@@ -121,31 +134,28 @@ def ngram_jaccard_pairs(
     else:
         sizes = sh.select("id", F.size("sh").alias("n_sh"))
 
-    def pair_array(ids: F.Column) -> F.Column:
-        n = F.size(ids)
-        return F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, n),
-                    lambda j: F.struct(
-                        F.least(
-                            F.element_at(ids, i), F.element_at(ids, j)
-                        ).alias("id_a"),
-                        F.greatest(
-                            F.element_at(ids, i), F.element_at(ids, j)
-                        ).alias("id_b"),
-                    ),
-                ),
-            )
-        )
-
+    # chunked pair emission: one row per (posting entry, list) first —
+    # the inner transform then holds at most O(f) structs per row
+    # instead of one C(f, 2)-struct block per shingle
     inter = (
         ex.groupBy("s")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode(pair_array(F.col("ids"))).alias("p"))
-        .groupBy("p.id_a", "p.id_b")
+        .select("ids", F.posexplode("ids").alias("i", "a"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ids"), F.col("i") + 2, F.size("ids")),
+                    lambda b: F.struct(
+                        F.least(F.col("a"), b).alias("id_a"),
+                        F.greatest(F.col("a"), b).alias("id_b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))

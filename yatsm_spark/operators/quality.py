@@ -156,6 +156,10 @@ def decontaminate(
     and broadcast-hinted only when its row count is actually under
     ``broadcast_threshold``; larger sets fall back to a shuffled semi-
     join (None = skip the count and let AQE decide).
+
+    Precondition: ``id_col`` unique per row in ``train`` (see
+    shingle_rows — duplicated doc-id rows would double n_hits since
+    per-row array_distinct cannot see across rows).
     """
     bench_kg = shingle_rows(benchmark, k, id_col, text_col).select("s").distinct()
     if broadcast_threshold is not None and bench_kg.count() <= broadcast_threshold:

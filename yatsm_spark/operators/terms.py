@@ -255,12 +255,7 @@ def tfidf_cosine_pairs(
     the standard df-cap every inverted-index join applies).  Pairs per
     surviving term are <= max_df^2 by construction.
 
-    Scale notes (100 TB design) — the FUSED posting-list form.  Stage
-    probes at 120k docs/local[8] put 42% of the wall in the former
-    explode -> groupBy(id, term) count (a corpus-sized exchange that
-    map-side combine cannot shrink: 25.2M of 34.6M postings were
-    distinct terms) and shuffled the posting set TWICE more through
-    the a x b self-join.  This form exchanges the posting set ONCE:
+    Scale notes (100 TB design):
       * Per-doc tf is computed ARRAY-LOCALLY (:func:`_term_tf_array`,
         zero shuffle) — a document's terms live in one row, so its
         term counts never needed a cluster-wide aggregate.
@@ -270,26 +265,17 @@ def tfidf_cosine_pairs(
         BEFORE the posting-list collect, so no collected list can
         exceed max_df entries — the stopword memory bomb is pruned a
         stage early, not after materialization.
-      * ONE groupBy(term) collect_list builds each surviving posting
-        list; pairs are generated MAP-SIDE from each bounded list
-        (nested transform + flatten, <= C(max_df, 2) structs per term,
-        ~0.5M at the default 1000).  The pair SET is independent of
-        collect_list's arrival order: each unordered {x, y} emits
-        exactly one (least, greatest) struct and dot sums are
-        decimal-exact commutative adds.
-      * Norms are a per-doc scalar aggregate over the posts (partial
-        agg collapses doc-local rows map-side — the exchange carries
-        ~1 row/doc); the final norm joins are id-keyed many-to-one and
-        AQE broadcasts at small SF.
-      * SIZE spark.sql.shuffle.partitions TO THE PAIR VOLUME: the
-        (id_a, id_b) aggregate holds up to sum(df^2)/2 groups and AQE
-        can coalesce but never split an under-partitioned aggregate —
-        measured 569.6 s -> 258.8 s (2.2x) on 480k docs / 138M pair
-        groups at local[32] going from 32 to 128 shuffle partitions
-        on the pre-fusion form (partial-map spill was the
-        super-linearity; the candidate volume itself grows exactly
-        linearly with corpus size on a stable df distribution —
-        verified 4.00x at 4x docs).
+      * The posting set is exchanged twice: groupBy(id) builds each
+        doc's sorted vector + prefix cutoff (full (t, w) payload),
+        groupBy(term) builds the posting lists — IDS ONLY, 8 bytes per
+        entry, weights never ride the term exchange.
+      * Candidate pairs are generated MAP-SIDE from each bounded list,
+        prefix-filtered (see below) — the r4 fused form's ~C(df, 2)
+        structs per term collapse to |prefix| x (|list| - 1) at most,
+        and the former (id_a, id_b) dot AGGREGATE (138M groups at 480k
+        docs, the measured weak-scaling killer: 0.31 N->4N) is
+        replaced by a distinct over the filtered candidates plus an
+        O(output) verify join.
 
     ``ngram`` > 1 switches the term dimension from unigrams to word
     n-grams — the right setting for small-vocabulary corpora where
@@ -306,7 +292,35 @@ def tfidf_cosine_pairs(
     reproducible); pair-set semantics are hash-agnostic up to ~1/2^31
     collisions and pinned equal across tiers by test.
 
+    PREFIX FILTERING (the Bayardo WWW'07 §3 contribution, L2-norm form
+    per Anastasiu & Karypis L2AP 2014): sort each doc's surviving terms
+    by weight DESC (term ASC ties), and call the minimal head whose
+    leftover-suffix L2 mass falls below the threshold the doc's
+    "prefix": k = min k with  tail(k) * q^2 < p^2 * n2  where
+    tail(k) = sum of w^2 strictly after position k.  LOSSLESS by
+    Cauchy-Schwarz: if x and y share NO term in x's prefix, every
+    shared term lies in x's suffix, so
+      cos(x,y) <= ||suffix(x)||/||x|| = sqrt(tail(k)/n2) < p/q.
+    Hence every qualifying pair co-occurs in some posting list at a
+    position where AT LEAST ONE side is prefix — so pair candidates
+    are generated only as prefix x prefix and prefix x suffix, never
+    suffix x suffix.  All bound arithmetic is INTEGER-EXACT
+    (tail*q^2 >= p^2*n2 in decimal(38,0)) — no float rounding can make
+    the filter lossy at the boundary.  Because skipped suffix-suffix
+    co-occurrences no longer contribute partial dots, the dot product
+    moves to a VERIFY stage: distinct candidate pairs join back their
+    full (term, w) vectors and the dot is computed array-locally
+    (map probe over the shorter side's entries), same decimal algebra,
+    so the output is bit-identical to the exhaustive form.  Measured at
+    sf0.1 (120k docs): candidate structs 17.46M -> 0.57M (30x) and the
+    138M-group pair aggregate disappears entirely.
+
     Returns (id_a, id_b, dot, sim_sq_x1e8), id_a < id_b.
+
+    Precondition: ``id_col`` must be unique per row (standard for
+    doc_id).  Duplicate-id rows would merge into one term vector at the
+    groupBy(id) stage and inflate df; the id_a != id_b candidate filter
+    additionally guarantees no self-pair can ever be emitted.
     """
     p, q = threshold
     tc = docs.select(
@@ -314,14 +328,17 @@ def tfidf_cosine_pairs(
         F.explode(_term_tf_array(F.col(text_col), ngram, hash_fn)).alias("s"),
     ).select("id", F.col("s.t").alias("t"), F.col("s.tf").alias("tf"))
     vocab = tc.groupBy("t").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
     if broadcast_threshold is not None and vocab.count() <= broadcast_threshold:
         vocab = F.broadcast(vocab)
+    # N rides the plan as a broadcast 1-row frame (BNLJ, 1-row build
+    # side): no separate docs.count() driver action / extra full scan.
+    nframe = docs.agg(F.count(F.lit(1)).alias("nd"))
     bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
-    idf_q = F.lit(len(bin(max(int(n_docs), 1))) - 2) - bitlen(F.col("df"))
+    idf_q = bitlen(F.greatest(F.col("nd"), F.lit(1))) - bitlen(F.col("df"))
     posts = (
         tc.join(vocab, "t")
         .filter(F.col("df") <= max_df)
+        .crossJoin(F.broadcast(nframe))
         .select(
             "id",
             "t",
@@ -329,66 +346,153 @@ def tfidf_cosine_pairs(
         )
     )
     dec = "decimal(38,0)"
-    norms = posts.groupBy("id").agg(
-        F.sum(F.col("w").cast(dec) * F.col("w").cast(dec)).alias("n2")
+    pp2 = F.lit(p * p).cast(dec)
+    qq2 = F.lit(q * q).cast(dec)
+    # Per-doc vector, weight-DESC sorted, with its norm^2 and integer-
+    # exact prefix length k (one O(m) aggregate pass per doc, all
+    # array-local — the collect_list exchange is the one shuffle the
+    # posting set pays before candidate generation).  The sort rides a
+    # STRUCT KEY through default array_sort (codegen binary ordering on
+    # (-w, t)) — a comparator lambda would run one interpreted when-
+    # chain per comparison, measured ~4x the whole stage.  n2/cum stay
+    # in LONG (interpreted decimal adds are ~5x costlier per element);
+    # w^2 <= 9.2e18 requires |w| < 3e9 — tf*(1+idf_q) <= 64*doc_len,
+    # satisfied by any real document, and ANSI mode faults loudly (not
+    # silently wrong) if a pathological row ever exceeds it.
+    vecs = (
+        posts.groupBy("id")
+        .agg(F.collect_list(F.struct((-F.col("w")).alias("nw"), "t")).alias("tw0"))
+        .select(
+            "id",
+            F.transform(
+                F.array_sort("tw0"),
+                lambda x: F.struct(x["t"].alias("t"), (-x["nw"]).alias("w")),
+            ).alias("tw"),
+        )
+        .select(
+            "id",
+            "tw",
+            F.aggregate(
+                F.col("tw"),
+                F.lit(0).cast("long"),
+                lambda a, e: a + e["w"] * e["w"],
+            ).alias("n2"),
+        )
+        .select(
+            "id",
+            "tw",
+            "n2",
+            F.aggregate(
+                F.col("tw"),
+                F.struct(
+                    F.lit(0).cast("long").alias("cum"), F.lit(0).alias("k")
+                ),
+                lambda a, e: F.struct(
+                    (a["cum"] + e["w"] * e["w"]).alias("cum"),
+                    # position in prefix iff the mass strictly before it
+                    # still leaves tail*q^2 >= p^2*n2 (decimal compare:
+                    # n2*q^2 may exceed long)
+                    F.when(
+                        (F.col("n2") - a["cum"]).cast(dec) * qq2
+                        >= pp2 * F.col("n2").cast(dec),
+                        a["k"] + 1,
+                    )
+                    .otherwise(a["k"])
+                    .alias("k"),
+                ),
+                lambda a: a["k"],
+            ).alias("k"),
+        )
     )
-    # one posting collect per term (bounded <= max_df by the df guard),
-    # pairs generated map-side from each list
+    # posting lists carry IDS ONLY (8 bytes/entry — weights stay behind
+    # for the verify join), split prefix/suffix per term
+    flagged = vecs.select(
+        "id", "k", F.posexplode("tw").alias("pos", "s")
+    ).select(F.col("s.t").alias("t"), "id", (F.col("pos") < F.col("k")).alias("pf"))
     lists = (
-        posts.groupBy("t")
-        .agg(F.collect_list(F.struct("id", "w")).alias("ps"))
-        .filter(F.size("ps") >= 2)
+        flagged.groupBy("t")
+        .agg(
+            F.collect_list(F.when(F.col("pf"), F.col("id"))).alias("pl"),
+            F.collect_list(F.when(~F.col("pf"), F.col("id"))).alias("sl"),
+        )
+        .filter((F.size("pl") >= 1) & (F.size("pl") + F.size("sl") >= 2))
     )
 
-    def pair_array(ps: F.Column) -> F.Column:
-        n = F.size(ps)
-        return F.flatten(
+    def cand_array(pl: F.Column, sl: F.Column) -> F.Column:
+        def pair(a: F.Column, b: F.Column) -> F.Column:
+            return F.struct(
+                F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
+            )
+
+        # prefix x later-prefix (slice clamps past the end -> empty
+        # inner arrays, no sequence(1,0) descending-range trap)
+        pp = F.flatten(
             F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, n),
-                    lambda j: F.struct(
-                        F.least(
-                            F.element_at(ps, i)["id"], F.element_at(ps, j)["id"]
-                        ).alias("id_a"),
-                        F.greatest(
-                            F.element_at(ps, i)["id"], F.element_at(ps, j)["id"]
-                        ).alias("id_b"),
-                        # wa*wb is symmetric — no need to track which
-                        # weight followed the least id
-                        F.element_at(ps, i)["w"].alias("wa"),
-                        F.element_at(ps, j)["w"].alias("wb"),
-                    ),
+                pl,
+                lambda a, i: F.transform(
+                    F.slice(pl, i + 2, F.size(pl)), lambda b: pair(a, b)
                 ),
             )
         )
-
-    dots = (
-        lists.select(F.explode(pair_array(F.col("ps"))).alias("p"))
-        .select("p.*")
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa").cast(dec) * F.col("wb").cast(dec)).alias("dot"))
-    )
-    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2a"))
-    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2b"))
-    dd = F.col("dot") * F.col("dot")
-    keep = (
-        F.lit(q * q).cast(dec) * dd
-        >= F.lit(p * p).cast(dec) * F.col("n2a") * F.col("n2b")
-    )
-    num = F.lit(100_000_000).cast(dec) * dd
-    den = F.col("n2a") * F.col("n2b")
-    exact = num - F.pmod(num, den)
-    return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(keep)
-        .select(
-            "id_a",
-            "id_b",
-            F.col("dot").cast("bigint").alias("dot"),
-            (exact / den).cast("bigint").alias("sim_sq_x1e8"),
+        # prefix x suffix — suffix x suffix is provably below threshold
+        ps = F.flatten(
+            F.transform(pl, lambda a: F.transform(sl, lambda b: pair(a, b)))
         )
+        return F.concat(pp, ps)
+
+    cand = (
+        lists.select(F.explode(cand_array(F.col("pl"), F.col("sl"))).alias("c"))
+        .select("c.*")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    # verify: exact integer dot over the full vectors (map probe on the
+    # b side, linear scan of the a side), then the exact threshold
+    # test.  The probe map is BOUND as a lambda variable first (the
+    # transform-of-singleton-array trick): CollapseProject would
+    # otherwise inline map_from_entries into the aggregate lambda and
+    # interpreted HOFs rebuild it PER ELEMENT — measured 16.5s -> ~1s
+    # on 830k candidate pairs at sf0.1.
+    va = vecs.select(
+        F.col("id").alias("id_a"),
+        F.col("tw").alias("twa"),
+        F.col("n2").alias("n2a"),
+    )
+    vb = vecs.select(
+        F.col("id").alias("id_b"),
+        F.col("tw").alias("twb"),
+        F.col("n2").alias("n2b"),
+    )
+    dot = F.element_at(
+        F.transform(
+            F.array(F.map_from_entries(F.col("twb"))),
+            lambda mb: F.aggregate(
+                F.col("twa"),
+                F.lit(0).cast("long"),
+                lambda a, e: a
+                + e["w"]
+                * F.coalesce(
+                    F.try_element_at(mb, e["t"]), F.lit(0).cast("long")
+                ),
+            ),
+        ),
+        1,
+    )
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", "n2a", "n2b", dot.alias("dot"))
+    )
+    dd = F.col("dot").cast(dec) * F.col("dot").cast(dec)
+    keep = qq2 * dd >= pp2 * F.col("n2a").cast(dec) * F.col("n2b").cast(dec)
+    num = F.lit(100_000_000).cast(dec) * dd
+    den = F.col("n2a").cast(dec) * F.col("n2b").cast(dec)
+    exact = num - F.pmod(num, den)
+    return scored.filter(keep).select(
+        "id_a",
+        "id_b",
+        F.col("dot").alias("dot"),
+        (exact / den).cast("bigint").alias("sim_sq_x1e8"),
     )
 
 
