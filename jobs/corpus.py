@@ -155,6 +155,9 @@ def clean_corpus(
         k=3,
         max_bucket=lsh_max_bucket,
         hash_fn=minhash_hash_fn,
+        # no-silent-caps: star-guard demotions land in the lineage
+        # metrics next to the stage counts
+        metrics=m if lsh_max_bucket is not None else None,
     )
     pairs = raw_pairs.filter(F.col("sig_sim") >= neardup_threshold)
     clusters = neardup_clusters(pairs)

@@ -1,7 +1,10 @@
 """Stage-level probe for tfidf_cosine_pairs: where does the wall go at
-each (docs, cores) level?  Times each materialization boundary
-separately so the weak-scaling loss (0.33 measured on the end-to-end
-pair) can be attributed to a stage instead of guessed.
+each (docs, cores) level?  Times each materialization boundary of the
+SHIPPED prefix-filtered plan (operators/terms.py::tfidf_cosine_pairs —
+the pre-r5 probe timed the since-replaced a x b self-join shape, which
+r4's ADVICE correctly flagged as a plan-shape mismatch).  Intermediates
+are persisted before timing the next stage, so each reading isolates
+its own stage instead of re-running everything upstream.
 
 Usage: python scripts/probe_tfidf_stages.py --docs 120000 --cores 8
 """
@@ -21,11 +24,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=120000)
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--max-df", type=int, default=1024)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
-    from yatsm_spark.operators.dedup import shingle_hash_array
+    from yatsm_spark.operators.terms import _term_tf_array
     from yatsm_spark.session import get_spark
 
     path = f"/root/repo/.benchdata/webtext_n{args.docs}"
@@ -41,73 +45,151 @@ def main() -> None:
     )
     docs.agg(F.max("doc_id"), F.max(F.length("text"))).collect()
     n_docs = docs.count()
-    out = {"docs": n_docs, "cores": args.cores}
+    out = {"docs": n_docs, "cores": args.cores, "max_df": args.max_df}
+    p, q, max_df = 1, 2, args.max_df
+
+    # ---- stage 1: per-doc term tf (array-local) + vocab df aggregate
+    t0 = time.time()
+    tc = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(_term_tf_array(F.col("text"), 3, "fast")).alias("s"),
+    ).select("id", F.col("s.t").alias("t"), F.col("s.tf").alias("tf"))
+    tc = tc.persist()
+    out["n_postings"] = tc.count()
+    out["t_postings"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    tc = (
-        docs.select(
-            "doc_id",
-            F.explode(shingle_hash_array(F.col("text"), 3, "fast")).alias("t"),
-        )
-        .groupBy("doc_id", "t")
-        .agg(F.count("*").alias("tf"))
-    )
-    tc.persist()
-    out["n_tc"] = tc.count()
-    out["t_tc"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
-    vocab = tc.groupBy("t").agg(F.count("*").alias("df"))
-    vocab.persist()
+    vocab = tc.groupBy("t").agg(F.count("*").alias("df")).persist()
     out["n_vocab"] = vocab.count()
-    out["t_vocab"] = round(time.time() - t0, 2)
+    out["t_vocab"] = round(time.time() - t0, 1)
 
+    # ---- stage 2: df-guarded weighted posts -> per-doc sorted vector
+    # with norm^2 and integer-exact prefix cutoff k
     t0 = time.time()
     bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
     idf_q = F.lit(len(bin(max(int(n_docs), 1))) - 2) - bitlen(F.col("df"))
+    # production broadcast rule (tfidf_cosine_pairs): hint only under
+    # the 10M-row threshold — at campaign scale vocab is 25M rows and
+    # the join SHUFFLES, so the probe must too
+    v = F.broadcast(vocab) if out["n_vocab"] <= 10_000_000 else vocab
     posts = (
-        tc.join(F.broadcast(vocab), "t")
-        .filter(F.col("df") <= 1024)
+        tc.join(v, "t")
+        .filter(F.col("df") <= max_df)
         .select(
-            F.col("doc_id").alias("id"),
-            "t",
+            "id", "t",
             (F.col("tf") * (F.lit(1) + idf_q)).cast("long").alias("w"),
         )
     )
-    posts.persist()
-    out["n_posts"] = posts.count()
-    out["t_posts"] = round(time.time() - t0, 2)
-
     dec = "decimal(38,0)"
+    pp2 = F.lit(p * p).cast(dec)
+    qq2 = F.lit(q * q).cast(dec)
+    vecs = (
+        posts.groupBy("id")
+        .agg(F.collect_list(F.struct((-F.col("w")).alias("nw"), "t")).alias("tw0"))
+        .select(
+            "id",
+            F.transform(
+                F.array_sort("tw0"),
+                lambda x: F.struct(x["t"].alias("t"), (-x["nw"]).alias("w")),
+            ).alias("tw"),
+        )
+        .select(
+            "id", "tw",
+            F.aggregate(
+                F.col("tw"), F.lit(0).cast("long"),
+                lambda a, e: a + e["w"] * e["w"],
+            ).alias("n2"),
+        )
+        .select(
+            "id", "tw", "n2",
+            F.aggregate(
+                F.col("tw"),
+                F.struct(F.lit(0).cast("long").alias("cum"), F.lit(0).alias("k")),
+                lambda a, e: F.struct(
+                    (a["cum"] + e["w"] * e["w"]).alias("cum"),
+                    F.when(
+                        (F.col("n2") - a["cum"]).cast(dec) * qq2
+                        >= pp2 * F.col("n2").cast(dec),
+                        a["k"] + 1,
+                    ).otherwise(a["k"]).alias("k"),
+                ),
+                lambda a: a["k"],
+            ).alias("k"),
+        )
+    ).persist()
+    out["n_vecs"] = vecs.count()
+    out["prefix_frac_x1e4"] = vecs.agg(
+        (F.lit(10000) * F.sum("k") / F.sum(F.size("tw"))).cast("int")
+    ).collect()[0][0]
+    out["t_vecs"] = round(time.time() - t0, 1)
+
+    # ---- stage 3: prefix/suffix posting lists + map-side candidates
     t0 = time.time()
-    a = posts.select(F.col("id").alias("id_a"), "t", F.col("w").alias("wa"))
-    b = posts.select(F.col("id").alias("id_b"), "t", F.col("w").alias("wb"))
-    joined = a.join(b, "t").filter(F.col("id_a") < F.col("id_b"))
-    out["n_cand"] = joined.count()
-    out["t_cand_count"] = round(time.time() - t0, 2)
+    flagged = vecs.select(
+        "id", "k", F.posexplode("tw").alias("pos", "s")
+    ).select(F.col("s.t").alias("t"), "id", (F.col("pos") < F.col("k")).alias("pf"))
+    lists = (
+        flagged.groupBy("t")
+        .agg(
+            F.collect_list(F.when(F.col("pf"), F.col("id"))).alias("pl"),
+            F.collect_list(F.when(~F.col("pf"), F.col("id"))).alias("sl"),
+        )
+        .filter((F.size("pl") >= 1) & (F.size("pl") + F.size("sl") >= 2))
+    ).persist()
+    out["n_lists"] = lists.count()
+    out["n_cand_structs"] = lists.agg(
+        F.sum(
+            F.size("pl") * (F.size("pl") - 1) / 2 + F.size("pl") * F.size("sl")
+        ).cast("long")
+    ).collect()[0][0]
+    out["t_lists"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    dots = joined.groupBy("id_a", "id_b").agg(
-        F.sum(F.col("wa").cast(dec) * F.col("wb").cast(dec)).alias("dot")
-    )
-    dots.persist()
-    out["n_dots"] = dots.count()
-    out["t_dots"] = round(time.time() - t0, 2)
 
+    def cand_array(pl, sl):
+        def pair(a, b):
+            return F.struct(F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b"))
+        pp = F.flatten(F.transform(pl, lambda a, i: F.transform(
+            F.slice(pl, i + 2, F.size(pl)), lambda b: pair(a, b))))
+        ps = F.flatten(F.transform(pl, lambda a: F.transform(sl, lambda b: pair(a, b))))
+        return F.concat(pp, ps)
+
+    cand = (
+        lists.select(F.explode(cand_array(F.col("pl"), F.col("sl"))).alias("c"))
+        .select("c.*")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    ).persist()
+    out["n_cand_distinct"] = cand.count()
+    out["t_cand"] = round(time.time() - t0, 1)
+
+    # ---- stage 4: exact verify (map probe dot + threshold)
     t0 = time.time()
-    norms = posts.groupBy("id").agg(
-        F.sum(F.col("w").cast(dec) * F.col("w").cast(dec)).alias("n2")
+    va = vecs.select(F.col("id").alias("id_a"), F.col("tw").alias("twa"),
+                     F.col("n2").alias("n2a"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("tw").alias("twb"),
+                     F.col("n2").alias("n2b"))
+    dot = F.element_at(
+        F.transform(
+            F.array(F.map_from_entries(F.col("twb"))),
+            lambda mb: F.aggregate(
+                F.col("twa"), F.lit(0).cast("long"),
+                lambda a, e: a + e["w"] * F.coalesce(
+                    F.try_element_at(mb, e["t"]), F.lit(0).cast("long")),
+            ),
+        ), 1,
     )
-    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2a"))
-    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2b"))
-    dd = F.col("dot") * F.col("dot")
-    keep = F.lit(4).cast(dec) * dd >= F.col("n2a") * F.col("n2b")
-    out["n_pairs"] = (
-        dots.join(na, "id_a").join(nb, "id_b").filter(keep).count()
+    scored = (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", "n2a", "n2b", dot.alias("dot"))
     )
-    out["t_final"] = round(time.time() - t0, 2)
+    dd = F.col("dot").cast(dec) * F.col("dot").cast(dec)
+    keep = qq2 * dd >= pp2 * F.col("n2a").cast(dec) * F.col("n2b").cast(dec)
+    out["n_pairs"] = scored.filter(keep).count()
+    out["t_verify"] = round(time.time() - t0, 1)
+
     out["t_total"] = round(
-        sum(v for k, v in out.items() if k.startswith("t_") and k != "t_total"), 2
+        sum(v for k, v in out.items() if k.startswith("t_") and k != "t_total"), 1
     )
     print(json.dumps(out))
     spark.stop()

@@ -422,10 +422,14 @@ def test_lsh_max_bucket_star_guard(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
 
     full = minhash_lsh_pairs(docs).toPandas()
-    star = minhash_lsh_pairs(docs, max_bucket=10).toPandas()
+    m: dict = {}
+    star = minhash_lsh_pairs(docs, max_bucket=10, metrics=m).toPandas()
     # 30-doc family: 435 all-pairs vs 29 star edges; small family untouched
     assert len(full) == 435 + 1
     assert len(star) == 29 + 1
+    # no-silent-caps: the guard reports what it demoted — the 30-doc
+    # family shares all 4 bands -> 4 oversized buckets of 30 rows each
+    assert m == {"lsh_star_buckets": 4, "lsh_star_rows": 120}
     big = star[star.id_a.str.startswith("d")]
     assert (big.id_a == "d000").all()  # min-id root
     assert (big.sig_sim == 1.0).all()
@@ -763,8 +767,11 @@ def test_simhash_neardup_guard_and_validation(spark):
         "doc_id long, text string",
     )
     # three identical docs share every band; max_bucket=2 drops those
-    # buckets entirely (documented recall loss on degenerate clusters)
-    assert simhash_neardup_pairs(d, max_bucket=2).count() == 0
+    # buckets entirely (documented recall loss on degenerate clusters),
+    # and the no-silent-caps metrics report the 4 dropped buckets
+    m: dict = {}
+    assert simhash_neardup_pairs(d, max_bucket=2, metrics=m).count() == 0
+    assert m == {"simhash_dropped_buckets": 4, "simhash_dropped_rows": 12}
     assert simhash_neardup_pairs(d).count() == 3  # all pairs, hamming 0
     with _pytest.raises(ValueError):
         simhash_neardup_pairs(d, bands=4, max_hamming=4)

@@ -390,6 +390,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     max_bucket: int | None = None,
     hash_fn: str = "portable",
+    metrics: dict | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: candidate pairs whose signatures collide in
     at least one band, with the exact signature-agreement fraction.
@@ -411,6 +412,12 @@ def minhash_lsh_pairs(
     already agree on a whole signature band).  Pair-level recall between
     non-root members of oversized buckets is deliberately sacrificed;
     None (default) = exact all-pairs semantics.
+
+    ``metrics`` (optional dict, no-silent-caps rule): with the guard
+    armed, records ``lsh_star_buckets`` (buckets demoted to star edges)
+    and ``lsh_star_rows`` (band rows inside them) via one extra 1-row
+    aggregate job on the bucket stats — opt-in, so metric-free callers
+    pay nothing.
     """
     from yatsm_spark.operators.graph import materialize_once
 
@@ -451,6 +458,17 @@ def minhash_lsh_pairs(
         stats = banded.groupBy("band", "bkey").agg(
             F.count("*").alias("_bn"), F.min("id").alias("_rid")
         )
+        if metrics is not None:
+            row = (
+                stats.filter(F.col("_bn") > max_bucket)
+                .agg(
+                    F.count("*").alias("b"),
+                    F.coalesce(F.sum("_bn"), F.lit(0)).alias("r"),
+                )
+                .collect()[0]  # bounded: one row
+            )
+            metrics["lsh_star_buckets"] = int(row["b"])
+            metrics["lsh_star_rows"] = int(row["r"])
         small = banded.join(
             stats.filter(F.col("_bn") <= max_bucket).select("band", "bkey"),
             ["band", "bkey"],
@@ -742,6 +760,7 @@ def simhash_neardup_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: all (id_a < id_b) with Hamming distance
     <= ``max_hamming`` between ``bits``-bit SimHashes — the BITWISE
@@ -764,6 +783,9 @@ def simhash_neardup_pairs(
     so buckets above the cap are DROPPED (documented recall loss on
     exactly those degenerate clusters — use minhash_lsh_pairs'
     star-guard path for transitive clustering of boilerplate).
+    ``metrics`` (optional dict, no-silent-caps rule) records
+    ``simhash_dropped_buckets`` / ``simhash_dropped_rows`` for the
+    dropped set via one extra 1-row aggregate job — opt-in.
 
     Scale notes (100 TB design): signatures are map-side (simhash64 is
     one aggregate() fold per row); the ONLY shuffles are the slim
@@ -807,6 +829,17 @@ def simhash_neardup_pairs(
     ).select("id", "sh", F.col("b.r").alias("r"), F.col("b.v").alias("v"))
     if max_bucket is not None:
         sizes = bnd.groupBy("r", "v").agg(F.count("*").alias("_n"))
+        if metrics is not None:
+            row = (
+                sizes.filter(F.col("_n") > max_bucket)
+                .agg(
+                    F.count("*").alias("b"),
+                    F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+                )
+                .collect()[0]  # bounded: one row
+            )
+            metrics["simhash_dropped_buckets"] = int(row["b"])
+            metrics["simhash_dropped_rows"] = int(row["r"])
         bnd = bnd.join(
             sizes.filter(F.col("_n") <= max_bucket).drop("_n"), ["r", "v"]
         )

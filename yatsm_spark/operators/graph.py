@@ -160,19 +160,39 @@ def connected_components(
         .distinct()
     )
 
+    def _sig(df: DataFrame) -> tuple:
+        """Order-independent edge-set signature: ONE map-side-combinable
+        1-row aggregate (count + two independent xor-folded 64-bit edge
+        hashes; bit_xor, not sum — ANSI faults on hash-sum overflow).
+        Replaces the former per-round two-sided exceptAll (two corpus-
+        sized shuffle jobs per round, ~log n rounds); a signature match
+        is confirmed with the exact check ONCE at convergence, so a
+        ~2^-128 collision costs a wasted confirmation, never a wrong
+        component."""
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("x1"),
+            F.coalesce(F.bit_xor(F.xxhash64("dst", "src", F.lit(7))), F.lit(0)).alias("x2"),
+        ).collect()[0]
+        return (r["n"], r["x1"], r["x2"])
+
+    prev_sig = _sig(cur)
     for _ in range(max_iter):
         nxt = _checkpoint(_star(_star(cur, large=True), large=False))
-        # converged when the edge SETS match (both are distinct lists)
-        changed = (
-            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
-        )
-        # nxt is eagerly materialized and the convergence check is done:
-        # the superseded round's blocks are dead — free them NOW, or each
-        # round leaks a block set for the session lifetime
+        sig = _sig(nxt)
+        if sig == prev_sig and (
+            nxt.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(nxt).limit(1).count()
+            == 0
+        ):
+            # nxt is eagerly materialized; the superseded round's blocks
+            # are dead — free them NOW, or each round leaks a block set
+            _release(cur)
+            cur = nxt
+            break
         _release(cur)
         cur = nxt
-        if changed == 0:
-            break
+        prev_sig = sig
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 

@@ -89,19 +89,26 @@ def tfidf_top_terms(
     """
     tc = _doc_terms(docs, id_col, text_col)
     vocab = tc.groupBy("t").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
     if broadcast_threshold is not None and vocab.count() <= broadcast_threshold:
         vocab = F.broadcast(vocab)
+    # N rides the plan as a broadcast 1-row frame (BNLJ, 1-row build
+    # side) — no separate docs.count() driver action / extra full scan
+    nframe = docs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_nd")
+    )
     # tf*N formed in decimal(38,0): in bigint it silently wraps past 2^63
     # in non-ANSI Spark once tf*N > ~9.2e18 — reachable at the documented
     # 100 TB design scale (N ~ 1e12 docs)
-    scored = tc.join(vocab, "t").withColumn(
-        "tfidf_x1e4",
-        _x1e4(
-            F.col("tf").cast("decimal(38,0)")
-            * F.lit(int(n_docs)).cast("decimal(38,0)"),
-            F.col("df"),
-        ),
+    scored = (
+        tc.join(vocab, "t")
+        .crossJoin(F.broadcast(nframe))
+        .withColumn(
+            "tfidf_x1e4",
+            _x1e4(
+                F.col("tf").cast("decimal(38,0)") * F.col("_nd"),
+                F.col("df"),
+            ),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf_x1e4").desc(), F.col("t"))
     return (
@@ -134,9 +141,12 @@ def commonness_score(
     """
     tc = _doc_terms(docs, id_col, text_col)
     vocab = tc.groupBy("t").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
     if broadcast_threshold is not None and vocab.count() <= broadcast_threshold:
         vocab = F.broadcast(vocab)
+    # N as a broadcast 1-row frame — no docs.count() driver action
+    nframe = docs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_nd")
+    )
     # tf*df and n_tokens*N formed in decimal(38,0) — bigint products wrap
     # silently past 2^63 at design scale (see tfidf_top_terms note)
     return (
@@ -148,13 +158,13 @@ def commonness_score(
                 F.col("tf").cast("decimal(38,0)") * F.col("df").cast("decimal(38,0)")
             ).alias("sum_df"),
         )
+        .crossJoin(F.broadcast(nframe))
         .select(
             F.col("id").alias(id_col),
             F.col("n_tokens"),
             _x1e4(
                 F.col("sum_df"),
-                F.col("n_tokens").cast("decimal(38,0)")
-                * F.lit(int(n_docs)).cast("decimal(38,0)"),
+                F.col("n_tokens").cast("decimal(38,0)") * F.col("_nd"),
             ).alias("mean_df_x1e4"),
         )
     )
@@ -224,7 +234,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     threshold: tuple[int, int] = (1, 2),
     max_df: int = 1000,
-    broadcast_threshold: int | None = 10_000_000,
+    broadcast_threshold: int | None = None,
     ngram: int = 1,
     hash_fn: str = "fast",
 ) -> DataFrame:
@@ -322,12 +332,17 @@ def tfidf_cosine_pairs(
     groupBy(id) stage and inflate df; the id_a != id_b candidate filter
     additionally guarantees no self-pair can ever be emitted.
     """
+    from yatsm_spark.operators.graph import materialize_once
+
     p, q = threshold
     tc = docs.select(
         F.col(id_col).alias("id"),
         F.explode(_term_tf_array(F.col(text_col), ngram, hash_fn)).alias("s"),
     ).select("id", F.col("s.t").alias("t"), F.col("s.tf").alias("tf"))
     vocab = tc.groupBy("t").agg(F.count("*").alias("df"))
+    # None (default) = let AQE pick the join side from RUNTIME shuffle
+    # stats — no planning-time vocab.count() job, which costs a full
+    # explode+agg pass over the posting set (measured 47 s at 480k docs)
     if broadcast_threshold is not None and vocab.count() <= broadcast_threshold:
         vocab = F.broadcast(vocab)
     # N rides the plan as a broadcast 1-row frame (BNLJ, 1-row build
@@ -404,6 +419,13 @@ def tfidf_cosine_pairs(
             ).alias("k"),
         )
     )
+    # vecs has THREE consumers (flag rows, verify a-side, verify b-side)
+    # whose differing column pruning defeats ReuseExchange — without an
+    # eager materialization the ENTIRE posting lineage (explode + hash +
+    # vocab join + collect_list exchange) executes three times (verified
+    # in the formatted plan: zero ReusedExchange nodes).  Same pattern
+    # and rationale as minhash_lsh_pairs' banded frame.
+    vecs = materialize_once(vecs)
     # posting lists carry IDS ONLY (8 bytes/entry — weights stay behind
     # for the verify join), split prefix/suffix per term
     flagged = vecs.select(
@@ -488,12 +510,16 @@ def tfidf_cosine_pairs(
     num = F.lit(100_000_000).cast(dec) * dd
     den = F.col("n2a").cast(dec) * F.col("n2b").cast(dec)
     exact = num - F.pmod(num, den)
-    return scored.filter(keep).select(
+    out = scored.filter(keep).select(
         "id_a",
         "id_b",
         F.col("dot").alias("dot"),
         (exact / den).cast("bigint").alias("sim_sq_x1e8"),
     )
+    # carry the vecs checkpoint handle so release_components() frees the
+    # blocks once the pairs are consumed (same contract as minhash)
+    out._yatsm_ckpt_ids = getattr(vecs, "_yatsm_ckpt_ids", set())  # type: ignore[attr-defined]
+    return out
 
 
 def collocations(
@@ -531,8 +557,9 @@ def collocations(
     shingles (the counts), one broadcast-or-shuffled join of bigrams
     against the unigram vocab on each side, one global top-k (ORDER BY
     LIMIT — Spark's TakeOrderedAndProject, a per-partition heap + one
-    k-row collect, never a full sort).  T, B are driver scalars from
-    one count job each — bounded-collect class.
+    k-row collect, never a full sort).  T, B ride the plan as one
+    broadcast 1-row aggregate (BNLJ, 1-row build side) — no driver
+    actions.
 
     Returns (bigram, c_xy, c_x, c_y, pmi_ratio_x1e4), ranked by
     (pmi_ratio_x1e4 DESC, bigram ASC) — deterministic ties.
@@ -549,26 +576,26 @@ def collocations(
         .agg(F.count("*").alias("c_xy"))
         .filter(F.col("c_xy") >= min_count)
     )
-    t_total = toks.count()
-    b_total = docs.select(
-        F.sum(
-            F.greatest(F.size(F.split(F.col(text_col), " ")) - 1, F.lit(0))
-        ).alias("b")
-    ).first()["b"]
+    # T and B ride the plan as ONE broadcast 1-row aggregate — no
+    # separate count()/first() driver actions (each was a full scan)
+    dec = "decimal(38,0)"
+    sz = F.size(F.coalesce(F.split(F.col(text_col), " "), F.array()))
+    nframe = docs.agg(
+        F.sum(sz).cast(dec).alias("_tt"),
+        F.sum(F.greatest(sz - 1, F.lit(0))).cast(dec).alias("_bt"),
+    )
     if broadcast_threshold is not None and uni.count() <= broadcast_threshold:
         uni = F.broadcast(uni)
     x = uni.select(F.col("t").alias("_x"), F.col("c").alias("c_x"))
     y = uni.select(F.col("t").alias("_y"), F.col("c").alias("c_y"))
-    dec = "decimal(38,0)"
-    split_at = F.instr(F.col("xy"), " ")  # first space splits the bigram
     num = (
         F.col("c_xy").cast(dec)
-        * F.lit(int(t_total)).cast(dec)
-        * F.lit(int(t_total)).cast(dec)
+        * F.col("_tt")
+        * F.col("_tt")
         * F.lit(10_000).cast(dec)
     )
     den = (
-        F.lit(int(b_total)).cast(dec)
+        F.col("_bt")
         * F.col("c_x").cast(dec)
         * F.col("c_y").cast(dec)
     )
@@ -578,6 +605,7 @@ def collocations(
         .withColumn("_y", F.expr("substring(xy, instr(xy, ' ') + 1)"))
         .join(x, "_x")
         .join(y, "_y")
+        .crossJoin(F.broadcast(nframe))
         .select(
             F.col("xy").alias("bigram"),
             "c_xy",
