@@ -247,3 +247,105 @@ def test_resize_stub_policy(media):
     one = resize_image(media, bin_col="blob", fake=True).collect()
     two = resize_image(media, bin_col="blob", fake=True).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, two))
+
+
+# ---------------------------------------------------------- header dims
+
+
+def test_jpeg_dims_pure_python():
+    """Unit-level walk: SOF behind APP segments, fill bytes, truncation."""
+    from yatsm_spark.operators.multimodal import _jpeg_dims, make_jpeg_header
+
+    assert _jpeg_dims(make_jpeg_header(640, 480)) == (640, 480)
+    # SOF first, no APP segments
+    assert _jpeg_dims(make_jpeg_header(1, 1, n_app_segments=0)) == (1, 1)
+    # many large APP segments before SOF
+    assert _jpeg_dims(
+        make_jpeg_header(8000, 6000, n_app_segments=5, app_len=60000)
+    ) == (8000, 6000)
+    # fill bytes (0xFF padding) before the SOF marker
+    b = make_jpeg_header(33, 44, n_app_segments=0)
+    padded = b[:2] + b"\xff\xff\xff" + b[2:]
+    assert _jpeg_dims(padded) == (33, 44)
+    # progressive SOF2 marker
+    sof2 = bytearray(make_jpeg_header(10, 20, n_app_segments=1))
+    sof2[sof2.rindex(0xC0)] = 0xC2
+    assert _jpeg_dims(bytes(sof2)) == (10, 20)
+    # truncated mid-SOF / not a jpeg / EOI before SOF -> (None, None)
+    assert _jpeg_dims(make_jpeg_header(640, 480)[:8]) == (None, None)
+    assert _jpeg_dims(b"\x89PNG\r\n\x1a\n") == (None, None)
+    assert _jpeg_dims(b"\xff\xd8\xff\xd9") == (None, None)
+    assert _jpeg_dims(None) == (None, None)
+
+
+def test_media_dimensions_headers(spark):
+    """Ground-truth header dims for all four formats through the full
+    Spark path (JVM exprs for png/gif/bmp, Arrow UDF for jpeg)."""
+    from yatsm_spark.operators.multimodal import (
+        make_bmp,
+        make_gif_header,
+        make_jpeg_header,
+        make_png_header,
+        media_dimensions,
+    )
+
+    rows = [
+        (0, bytearray(make_png_header(800, 600))),
+        (1, bytearray(make_gif_header(320, 200))),
+        (2, bytearray(make_bmp(47, 31, seed=3))),
+        (3, bytearray(make_jpeg_header(1920, 1080, n_app_segments=3))),
+        (4, bytearray(b"<html><body>not an image</body></html>")),
+        (5, bytearray(make_png_header(1, 1)[:12])),  # truncated png
+        (6, bytearray(make_jpeg_header(0, 0))),  # corrupt zero dims
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {
+        r["doc_id"]: (r["img_w"], r["img_h"])
+        for r in media_dimensions(
+            media_metadata(df, "blob"), "blob"
+        ).collect()
+    }
+    assert out[0] == (800, 600)
+    assert out[1] == (320, 200)
+    assert out[2] == (47, 31)
+    assert out[3] == (1920, 1080)
+    assert out[4] == (None, None)
+    assert out[5] == (None, None)
+    assert out[6] == (None, None)
+
+
+def test_media_dimensions_bmp_topdown(spark):
+    """Negative BMP height (top-down storage) reports |h|."""
+    import struct
+
+    from yatsm_spark.operators.multimodal import (
+        make_bmp,
+        media_dimensions,
+        media_metadata,
+    )
+
+    b = bytearray(make_bmp(16, 12, seed=1))
+    b[22:26] = struct.pack("<i", -12)
+    df = spark.createDataFrame([(0, b)], "doc_id long, blob binary")
+    r = media_dimensions(media_metadata(df, "blob"), "blob").collect()[0]
+    assert (r["img_w"], r["img_h"]) == (16, 12)
+
+
+def test_media_dimensions_single_udf_eval(spark):
+    """img_w and img_h come from ONE ArrowEvalPython pass (the two
+    GetStructField reads of the same pandas_udf call are deduped by
+    ExtractPythonUDFs), and non-jpeg rows ship NULL into it."""
+    from yatsm_spark.operators.multimodal import (
+        make_jpeg_header,
+        media_dimensions,
+        media_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(0, bytearray(make_jpeg_header(64, 48)))], "doc_id long, blob binary"
+    )
+    plan = (
+        media_dimensions(media_metadata(df, "blob"), "blob")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
