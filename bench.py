@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "docs_collocations",
     "stitch_range",
     "simhash_neardup",
+    # round-5: header-dims parsers (codegen byte exprs + one Arrow jpeg
+    # segment walk)
+    "media_dims_synth",
 ]
 
 
