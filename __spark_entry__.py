@@ -21,6 +21,7 @@ Cross-engine parity rules used throughout (verified this session):
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -1190,6 +1191,40 @@ def _changemap_synth(spark, sf):
 
 
 
+def _pheno_synth(spark, sf):  # noqa: ARG001 — synthetic input per north rule
+    """K12 long-term-mean phenology (functions/pheno.py): 24 urls x 3
+    years of 3-daily observations with url-specific planted phase/
+    amplitude annual sinusoids plus a short-period deterministic
+    perturbation the spline must smooth over.  Golden-table oracle
+    (regression pin); the ABSOLUTE anchors are tests/test_pheno.py's
+    analytic half-max/peak assertions against the planted parameters."""
+    from yatsm_spark.functions.pheno import longterm_pheno
+
+    u = spark.range(24).select(
+        F.concat(F.lit("https://pheno"), F.col("id"), F.lit(".example/")).alias("url"),
+        (F.lit(20.0) + 13.0 * F.col("id")).alias("phase"),
+        (F.lit(1.0) + F.pmod(F.col("id"), F.lit(5)).cast("double")).alias("amp"),
+    )
+    obs = u.select(
+        "url",
+        "phase",
+        "amp",
+        F.explode(F.sequence(F.lit(0), F.lit(3 * 365 - 1), F.lit(3))).alias("day"),
+    ).select(
+        "url",
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2021-01-01 00:00:00")) + F.col("day") * 86400
+        ).alias("ts"),
+        (
+            F.lit(5.0)
+            + F.col("amp")
+            * F.sin((F.col("day") % 365 + 1 - F.col("phase")) * (2 * math.pi / 365.0))
+            + 0.2 * F.sin(F.col("day") * 0.9)  # sub-seasonal perturbation
+        ).alias("val"),
+    )
+    return longterm_pheno(obs, lam=None)
+
+
 def _q_corpus_clean_e2e(spark, sf):
     """FULL corpus-cleaning pipeline (jobs/corpus.py::clean_corpus) over
     a crawl synthesized from the documents table — HASH-CHECKED end to
@@ -1407,8 +1442,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       corpus_clean_e2e (forwards guard metrics), the terms.py
     #       family (docs_tfidf_terms/commonness/collocations — shared
     #       vocab/N plumbing), dup spans (dedup.py shared shingle path);
-    #   (c) the NEW op media_dims_synth (header-dims parsers, literal
-    #       ground-truth oracle);
+    #   (c) the NEW ops media_dims_synth (header-dims parsers, literal
+    #       ground-truth oracle) and pheno_longterm_synth (K12 smoothing-
+    #       spline phenology, golden-table oracle) — displacing r4-green
+    #       docs_commonness, whose changed terms.py vocab plumbing keeps
+    #       THREE in-window sentinels (docs_tfidf_terms, tfidf_cosine,
+    #       docs_collocations);
     #   (d) 31 of the 43 rows last driver-checked in r3, prioritized per
     #       the r4 verdict: rollup_1h, cascades, codec_roundtrip,
     #       blob_range_read, tier family, then every remaining stale row
@@ -1436,7 +1475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_e2e": _q_corpus_clean_e2e,
         "docs_minhash_sigs": _q_docs_minhash,
         "docs_tfidf_terms": _q_docs_tfidf_terms,
-        "docs_commonness": _q_docs_commonness,
         "docs_collocations": _q_docs_collocations,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_dup_span_cut": _q_docs_dup_span_cut,
@@ -1471,8 +1509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_split": _q_docs_hash_split,
         "pricing_summary": _q_pricing_summary,
         "docs_lang_dist": _q_docs_lang_dist,
+        "pheno_longterm_synth": _pheno_synth,
         # ---- below the driver's 50-query window (full-registry
         # coverage via scripts/check_oracle.py) ----
+        "docs_commonness": _q_docs_commonness,
         "url_canonicalize": _q_url_canonicalize,
         "event_type_daily": _q_event_type_daily,
         "grouping_rollup": _q_grouping_rollup,
@@ -2769,6 +2809,14 @@ _CHANGEMAP_GOLDEN = _golden(
     "CAST(last_break AS TIMESTAMP) AS last_break",
 )
 _CLASSIFY_GOLDEN = _golden("ccdc_classify_synth", "url, seg_id, status, predicted_label")
+_PHENO_GOLDEN = _golden(
+    "pheno_longterm_synth",
+    "url, CAST(n_obs AS BIGINT) AS n_obs, CAST(n_doy AS INTEGER) AS n_doy, "
+    "CAST(peak_doy AS INTEGER) AS peak_doy, CAST(trough_doy AS INTEGER) AS trough_doy, "
+    "CAST(peak_x1e4 AS BIGINT) AS peak_x1e4, CAST(amp_x1e4 AS BIGINT) AS amp_x1e4, "
+    "CAST(spring_doy AS INTEGER) AS spring_doy, CAST(autumn_doy AS INTEGER) AS autumn_doy, "
+    "CAST(cor_x1e4 AS BIGINT) AS cor_x1e4",
+)
 def _media_dims_oracle() -> str:
     """Literal-VALUES ground truth (NOT a golden fixture): the dims each
     synthesized header was built with, stated independently of the
@@ -3383,6 +3431,7 @@ def oracle_sql() -> dict[str, str]:
         # output is fixture-stable:
         "multimodal_media_synth": _MULTIMODAL_GOLDEN,
         "media_dims_synth": _MEDIA_DIMS,
+        "pheno_longterm_synth": _PHENO_GOLDEN,
         # approximate-but-DETERMINISTIC ops, fully reproduced in SQL:
         "minhash_lsh_pairs": _MINHASH_LSH,
         "minhash_lsh_guarded": _MINHASH_LSH_GUARDED,

@@ -91,8 +91,10 @@ BENCH_QUERIES = [
     "stitch_range",
     "simhash_neardup",
     # round-5: header-dims parsers (codegen byte exprs + one Arrow jpeg
-    # segment walk)
+    # segment walk); K12 smoothing-spline phenology (applyInPandas over
+    # per-DOY means)
     "media_dims_synth",
+    "pheno_longterm_synth",
 ]
 
 

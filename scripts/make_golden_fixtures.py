@@ -32,6 +32,7 @@ GOLDEN_QUERIES = (
     "ccdc_changemap_synth",
     "ccdc_classify_synth",
     "multimodal_media_synth",
+    "pheno_longterm_synth",
 )
 
 
