@@ -1102,15 +1102,20 @@ def _q_media_dims_synth(spark, sf):  # noqa: ARG001 — synthetic media per nort
 
 def _q_multimodal_synth(spark, sf):  # noqa: ARG001 — synthetic media per north rule
     """Binary media columns: magic sniffing (real JVM exprs) over synthetic
-    crawl html UNIONED with deterministic BMP images whose decode AND
-    resize are REAL (header + numpy pixel parse, no imaging library) —
-    only non-BMP rows take the documented fake-decoder path.  The resize
-    stage contributes the thumbnail md5 and the aHash perceptual near-dup
-    key, so the golden hash also pins the pixel-exact resampler."""
+    crawl html UNIONED with deterministic BMP + baseline-JPEG + PNG
+    images whose decode AND resize are REAL (own T.81/PNG decoders +
+    numpy — no imaging library; functions/jpegcodec.py, pngcodec.py) —
+    only rows no real decoder handles (html, gif headers) take the
+    documented fake-decoder path.  The resize stage contributes the
+    thumbnail md5 and the aHash perceptual near-dup key, so the golden
+    hash also pins the pixel-exact resampler, the JPEG entropy decoder,
+    and the PNG unfilter."""
     from yatsm_spark.datagen import generate_crawl
     from yatsm_spark.operators.multimodal import (
         decode_image,
         make_bmp,
+        make_jpeg,
+        make_png,
         media_metadata,
         resize_image,
     )
@@ -1121,7 +1126,30 @@ def _q_multimodal_synth(spark, sf):  # noqa: ARG001 — synthetic media per nort
         [(int(-1 - i), bytearray(make_bmp(32 + i, 24 + i, seed=i))) for i in range(16)],
         "doc_id long, html binary",
     )
-    docs = docs.unionByName(bmps)
+    jpgs = spark.createDataFrame(
+        [
+            (
+                int(-101 - i),
+                bytearray(
+                    make_jpeg(
+                        24 + 3 * i,
+                        18 + 2 * i,
+                        seed=i,
+                        quality=75 + 5 * (i % 5),
+                        subsample=(2, 2) if i % 2 else (1, 1),
+                        restart_interval=i % 3,
+                    )
+                ),
+            )
+            for i in range(8)
+        ],
+        "doc_id long, html binary",
+    )
+    pngs = spark.createDataFrame(
+        [(int(-201 - i), bytearray(make_png(20 + 2 * i, 14 + i, seed=i))) for i in range(8)],
+        "doc_id long, html binary",
+    )
+    docs = docs.unionByName(bmps).unionByName(jpgs).unionByName(pngs)
     meta = media_metadata(docs, "html").select("doc_id", "media_kind", "media_bytes")
     img = decode_image(docs, "html", fake=True)
     thumbs = resize_image(docs, out_w=16, out_h=16, fake=True).select(

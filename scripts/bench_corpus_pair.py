@@ -69,6 +69,13 @@ def io_probe_mbps() -> float:
     return round(64 / dt, 1)
 
 
+def _scale_heap(cores: int) -> None:
+    """Pin driver heap to 2.5 g/core for the level being measured (see
+    run_tfidf_once).  No-op if a JVM already exists in this process —
+    the launcher runs one level per process precisely so this applies."""
+    os.environ["YATSM_SPARK_DRIVER_MEM"] = f"{int(2.5 * cores)}g"
+
+
 def run_tfidf_once(crawl_path: str, cores: int) -> dict:
     """One tfidf_cosine_pairs pass (3-gram terms, df-capped posting
     join) with a real warm scan first — N-vs-4N evidence for the
@@ -87,6 +94,13 @@ def run_tfidf_once(crawl_path: str, cores: int) -> dict:
     # groups in EACH partial map — measured 569.6 s vs 258.8 s at 128
     # partitions on the same input/cores (spill-driven super-linearity,
     # the spill-aware sizing rule from the task brief in action).
+    # HEAP scales with cores too (2.5 g/core): a real N -> 4N cluster
+    # adds 4x executors each with the SAME heap, so heap-per-core is
+    # constant; a fixed driver heap would make the 4N leg run 4x data
+    # on a quarter of the per-core memory — a sandbox artifact no
+    # cluster exhibits, not the scaling property under test.  Must be
+    # set BEFORE the first session of the process (JVM-launch option).
+    _scale_heap(cores)
     spark = get_spark(
         f"tfidf_pair{cores}", master=f"local[{cores}]",
         shuffle_partitions=max(4 * cores, 32),
@@ -125,6 +139,7 @@ def run_once(crawl_path: str, cores: int) -> dict:
     from yatsm_spark.session import get_spark
 
     probe = io_probe_mbps()
+    _scale_heap(cores)  # constant heap-per-core, see run_tfidf_once
     spark = get_spark(
         f"corpus_pair{cores}",
         master=f"local[{cores}]",

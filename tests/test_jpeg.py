@@ -1,0 +1,318 @@
+"""Own-codec tests: baseline JPEG (functions/jpegcodec.py) and PNG
+(functions/pngcodec.py), plus their integration into the multimodal
+decode/resize path.  Three independent validation axes (module
+docstring): brute-force DCT cross-check, bitstream exactness vs the
+no-bitstream coefficient pipeline, analytic solid-color blocks."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from yatsm_spark.functions.jpegcodec import (
+    DCT_T,
+    ZIGZAG,
+    _pad_to,
+    decode_baseline_jpeg,
+    dequantize_to_plane,
+    encode_baseline_jpeg,
+    quality_tables,
+    quantize_plane,
+    rgb_to_ycbcr,
+    ycbcr_to_rgb,
+)
+from yatsm_spark.functions.pngcodec import _SIG, _chunk, decode_png, encode_png
+
+
+# ------------------------------------------------------------ DCT math
+
+
+def test_dct_matrix_against_bruteforce_definition():
+    """DCT_T must implement the orthonormal DCT-II: check a random block
+    against the O(n^4) double-loop definition written independently."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-128, 127, (8, 8))
+    f = DCT_T @ x @ DCT_T.T
+    brute = np.zeros((8, 8))
+    for k in range(8):
+        for l in range(8):  # noqa: E741
+            ak = np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8)
+            al = np.sqrt(1 / 8) if l == 0 else np.sqrt(2 / 8)
+            s = 0.0
+            for n in range(8):
+                for m in range(8):
+                    s += (
+                        x[n, m]
+                        * np.cos((2 * n + 1) * k * np.pi / 16)
+                        * np.cos((2 * m + 1) * l * np.pi / 16)
+                    )
+            brute[k, l] = ak * al * s
+    np.testing.assert_allclose(f, brute, atol=1e-10)
+    # and the pair inverts exactly
+    np.testing.assert_allclose(DCT_T.T @ f @ DCT_T, x, atol=1e-10)
+
+
+def test_zigzag_is_the_standard_order():
+    # spot-check the spec anchors: starts 0,1,8,16,9,2; ends 55,62,63
+    assert list(ZIGZAG[:6]) == [0, 1, 8, 16, 9, 2]
+    assert list(ZIGZAG[-3:]) == [55, 62, 63]
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+# ------------------------------------------------- jpeg encode/decode
+
+
+def _reference_pipeline(img, quality, subsample):
+    """decode(encode(img)) computed WITHOUT a bitstream: the encoder's
+    exact coefficient pipeline replayed through the shared quantize/
+    dequantize kernels.  Equality with the real decode proves the
+    Huffman/stuffing/restart layer is lossless."""
+    ql, qc = quality_tables(quality)
+    h, w = img.shape[:2]
+    ycc = rgb_to_ycbcr(img.astype(np.float64))
+    sh, sv = subsample
+    ypad = _pad_to(ycc[..., 0], 8 * sv, 8 * sh)
+    if subsample == (1, 1):
+        planes = [ypad, _pad_to(ycc[..., 1], 8, 8), _pad_to(ycc[..., 2], 8, 8)]
+    else:
+        def down(p):
+            p = _pad_to(p, 2, 2)
+            p = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4
+            return _pad_to(p, 8, 8)
+        planes = [ypad, down(ycc[..., 1]), down(ycc[..., 2])]
+    outs = []
+    for i, (p, q) in enumerate(zip(planes, [ql, qc, qc])):
+        coefs = quantize_plane(_pad_to(p, 8, 8), q)
+        plane = dequantize_to_plane(coefs, q.reshape(64)[ZIGZAG])
+        if i > 0 and subsample == (2, 2):
+            plane = np.repeat(np.repeat(plane, 2, axis=0), 2, axis=1)
+        outs.append(plane[:h, :w])
+    return np.clip(np.round(ycbcr_to_rgb(np.stack(outs, -1))), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "quality,subsample,restart,shape",
+    [
+        (85, (1, 1), 0, (24, 31, 3)),
+        (60, (2, 2), 0, (37, 53, 3)),
+        (95, (2, 2), 3, (16, 16, 3)),
+        (30, (1, 1), 1, (8, 8, 3)),
+    ],
+)
+def test_jpeg_bitstream_exactness(quality, subsample, restart, shape):
+    rng = np.random.default_rng(hash((quality, *shape)) % 2**31)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    enc = encode_baseline_jpeg(
+        img, quality=quality, subsample=subsample, restart_interval=restart
+    )
+    assert np.array_equal(
+        decode_baseline_jpeg(enc), _reference_pipeline(img, quality, subsample)
+    )
+
+
+def test_jpeg_solid_color_is_analytic():
+    """A solid block has only a DC coefficient; high quality quantizes
+    it exactly, so decode must return the color bit-exact."""
+    img = np.full((16, 24, 3), [200, 30, 90], dtype=np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(img, quality=90))
+    assert np.array_equal(dec, img)
+
+
+def test_jpeg_quality_monotonic_error():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    errs = []
+    for q in (95, 70, 30):
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(img, quality=q))
+        errs.append(np.abs(dec.astype(int) - img.astype(int)).mean())
+    assert errs[0] < errs[1] < errs[2]
+
+
+def test_jpeg_grayscale_roundtrip():
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 256, (20, 17), dtype=np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(g, quality=95))
+    assert dec.shape == g.shape
+    assert np.abs(dec.astype(int) - g.astype(int)).mean() < 8
+
+
+def test_jpeg_smooth_gradient_is_close():
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack([xx * 4 % 256, yy * 3 % 256, (xx + yy) % 256], -1).astype(np.uint8)
+    dec = decode_baseline_jpeg(
+        encode_baseline_jpeg(img, quality=90, subsample=(2, 2))
+    )
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 4
+
+
+def test_jpeg_rejects_progressive_and_corrupt():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(encode_baseline_jpeg(img))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive"):
+        decode_baseline_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(encode_baseline_jpeg(img)[:40])  # truncated
+
+
+def test_jpeg_dims_agree_with_header_parser(spark):
+    """The real decoder and the header-only dims parser must agree."""
+    from yatsm_spark.operators.multimodal import make_jpeg, media_dimensions, media_metadata
+
+    rows = [(i, bytearray(make_jpeg(16 + 3 * i, 8 + 5 * i, seed=i))) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    out = {
+        r["doc_id"]: (r["img_w"], r["img_h"])
+        for r in media_dimensions(media_metadata(df, "html"), "html").collect()
+    }
+    for i, data in rows:
+        px = decode_baseline_jpeg(bytes(data))
+        assert out[i] == (px.shape[1], px.shape[0])
+
+
+# -------------------------------------------------------- png decode
+
+
+def test_png_roundtrip_all_shapes():
+    rng = np.random.default_rng(7)
+    for shape in [(13, 17), (9, 5, 3), (7, 11, 4), (1, 1), (1, 3, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img), shape
+
+
+def test_png_all_filter_types_decode():
+    """Hand-filter a stream using the spec formulas (written here
+    independently) with one filter type per row; the decoder must
+    invert every one."""
+    rng = np.random.default_rng(8)
+    h, w, ch = 6, 8, 3
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    raw = img.reshape(h, w * ch).astype(np.int64)
+    stride, bpp = w * ch, ch
+    lines = []
+    for y in range(h):
+        f = y % 5
+        cur, prior = raw[y], (raw[y - 1] if y else np.zeros(stride, np.int64))
+        filt = np.zeros(stride, np.int64)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_png_palette_expands_to_rgb():
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (5, 7), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 3, 0, 0, 0)
+    rows = np.zeros((5, 8), dtype=np.uint8)
+    rows[:, 1:] = idx
+    data = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(rows.tobytes()))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), pal[idx])
+
+
+def test_png_rejects_unsupported():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = bytearray(encode_png(img))
+    bad = good.copy()
+    bad[8 + 8 + 8 + 4] = 1  # IHDR interlace byte -> Adam7
+    # (offset: sig 8 + len 4 + type 4 + w 4 + h 4 + depth/color/comp/filt 4
+    #  ... easier: rebuild)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    bad = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"x") + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bad)
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad16 = _SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IDAT", b"x") + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(bad16)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png")
+
+
+# --------------------------------------- integration: multimodal path
+
+
+def test_decode_image_real_for_jpeg_and_png(spark):
+    from yatsm_spark.operators.multimodal import (
+        _test_pattern,
+        decode_image,
+        make_jpeg,
+        make_png,
+    )
+
+    rows = [
+        (1, bytearray(make_png(24, 16, seed=2))),
+        (2, bytearray(make_jpeg(24, 16, seed=2, quality=95))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    out = {r["doc_id"]: r for r in decode_image(df, "html", fake=False).collect()}
+    # png decode is lossless: mean luma equals the pattern's exactly
+    pat = _test_pattern(24, 16, 2).astype(np.float64)
+    luma = 0.299 * pat[..., 0] + 0.587 * pat[..., 1] + 0.114 * pat[..., 2]
+    assert out[1]["width"] == 24 and out[1]["height"] == 16
+    assert out[1]["n_channels"] == 3
+    assert abs(out[1]["mean_luma"] - luma.mean() / 255.0) < 1e-6
+    # jpeg at q95 is close but lossy
+    assert out[2]["width"] == 24 and out[2]["height"] == 16
+    assert abs(out[2]["mean_luma"] - luma.mean() / 255.0) < 0.02
+
+
+def test_resize_real_for_jpeg_png_no_fake_flag(spark):
+    """resize_image(fake=False) must now succeed on jpeg/png rows —
+    the stub policy applies only to genuinely undecodable formats."""
+    from yatsm_spark.operators.multimodal import make_jpeg, make_png, resize_image
+
+    rows = [
+        (1, bytearray(make_png(40, 30, seed=4))),
+        (2, bytearray(make_jpeg(40, 30, seed=4, quality=90, subsample=(2, 2)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    out = resize_image(df, out_w=8, out_h=8, fake=False).collect()
+    assert len(out) == 2
+    for r in out:
+        assert len(r["thumb"]) == 64
+
+
+def test_gif_still_raises_without_fake(spark):
+    from yatsm_spark.operators.multimodal import decode_image, make_gif_header
+
+    df = spark.createDataFrame(
+        [(1, bytearray(make_gif_header(10, 10)))], "doc_id long, html binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        decode_image(df, "html", fake=False).collect()

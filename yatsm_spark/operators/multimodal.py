@@ -9,12 +9,21 @@ Decode support is tiered by what the environment allows:
     header parsing + a numpy view (8-bit: palette-mapped luma), so
     ``_decode_bmp`` genuinely parses dimensions/channels and computes the
     Rec.601 mean luma; ``make_bmp`` synthesizes deterministic test images.
-  * Compressed formats (png/jpeg/...) are STUBBED (no PIL/libvips in this
-    environment): ``decode_image`` raises ``NotImplementedError`` unless
-    ``fake=True``, in which case a deterministic hash-derived fake
-    exercises the full Spark path — schema, shuffle, mapInPandas batch
-    shape — with real data movement.  On a real deployment only
-    ``_decode_image_bytes``'s fallback changes; every plan stays the same.
+  * **Baseline JPEG decode is REAL (round 5)** — own T.81 baseline
+    sequential decoder in pure numpy (functions/jpegcodec.py: Huffman,
+    dequant, IDCT, 4:2:0 upsample, JFIF YCbCr); ``make_jpeg`` is the
+    encoder twin for deterministic fixtures.  Progressive/arithmetic
+    streams still fall through to the stub policy, loudly.
+  * **PNG decode is REAL (round 5)** — 8-bit gray/RGB/palette/alpha,
+    stdlib-zlib inflate + per-scanline unfilter (functions/pngcodec.py);
+    ``make_png`` is the fixture twin.  Adam7/16-bit fall through.
+  * Remaining formats (gif/webp/video/audio codecs) are STUBBED (no
+    imaging/av library in this environment): ``decode_image`` raises
+    ``NotImplementedError`` unless ``fake=True``, in which case a
+    deterministic hash-derived fake exercises the full Spark path —
+    schema, shuffle, mapInPandas batch shape — with real data movement.
+    On a real deployment only ``_decode_image_bytes``'s fallback
+    changes; every plan stays the same.
 
 Operators:
   * :func:`media_metadata`    — magic-byte sniffing + sizes (pure exprs)
@@ -115,10 +124,73 @@ def _bmp_luma_grid(data: bytes):
     return ch, 0.114 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.299 * rgb[..., 2]
 
 
+def _rgb_luma_grid(px):
+    """(h, w[, ch]) uint8 array -> (n_channels, Rec.601 luma grid)."""
+    import numpy as np
+
+    if px.ndim == 2:
+        return 1, px.astype(np.float64)
+    ch = px.shape[2]
+    rgb = px.astype(np.float64)
+    return ch, 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+
+
+def _jpeg_luma_grid(data: bytes):
+    """REAL baseline-JPEG decode (own T.81 decoder, functions/
+    jpegcodec.py) -> (n_channels, luma grid), or None when the bytes are
+    not a decodable baseline JPEG (progressive/arithmetic/corrupt fall
+    through to the caller's stub policy — never a silent wrong decode)."""
+    if len(data) < 3 or data[:3] != b"\xff\xd8\xff":
+        return None
+    from yatsm_spark.functions.jpegcodec import decode_baseline_jpeg
+
+    try:
+        px = decode_baseline_jpeg(data)
+    except ValueError:
+        return None
+    return _rgb_luma_grid(px)
+
+
+def _png_luma_grid(data: bytes):
+    """REAL PNG decode (stdlib-zlib inflate + unfilter, functions/
+    pngcodec.py) -> (n_channels, luma grid), or None for non-decodable
+    bytes (Adam7/16-bit/corrupt fall through to the stub policy)."""
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    from yatsm_spark.functions.pngcodec import decode_png
+
+    try:
+        px = decode_png(data)
+    except ValueError:
+        return None
+    ch, grid = _rgb_luma_grid(px)
+    # palette expands to RGB; alpha counts as a channel but luma ignores it
+    if px.ndim == 3 and px.shape[2] in (2, 4):
+        import numpy as np
+
+        rgbish = px[..., :-1].astype(np.float64)
+        if px.shape[2] == 2:  # gray+alpha
+            return 2, rgbish[..., 0]
+        return 4, (
+            0.299 * rgbish[..., 0] + 0.587 * rgbish[..., 1] + 0.114 * rgbish[..., 2]
+        )
+    return ch, grid
+
+
+def _any_luma_grid(data: bytes):
+    """Dispatch to the REAL decoders (BMP, baseline JPEG, PNG) in magic
+    order; None when no real decoder applies."""
+    return (
+        _bmp_luma_grid(data)
+        or _jpeg_luma_grid(data)
+        or _png_luma_grid(data)
+    )
+
+
 def _decode_bmp(data: bytes):
-    """Metadata view of :func:`_bmp_luma_grid`: (w, h, n_channels,
-    mean_luma in [0, 1]), or None for non-BMP bytes."""
-    decoded = _bmp_luma_grid(data)
+    """Metadata view of :func:`_any_luma_grid`: (w, h, n_channels,
+    mean_luma in [0, 1]), or None for bytes no real decoder handles."""
+    decoded = _any_luma_grid(data)
     if decoded is None:
         return None
     ch, grid = decoded
@@ -152,18 +224,60 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
     return header + px
 
 
+def _test_pattern(width: int, height: int, seed: int):
+    """The deterministic (x, y, seed) RGB pattern shared by every
+    ``make_*`` fixture maker (identical pixels across formats, so
+    cross-format decode comparisons are meaningful)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    r = ((xx + yy + seed * 5) % 256).astype(np.uint8)
+    g = ((yy * 13 + seed * 3) % 256).astype(np.uint8)
+    b = ((xx * 7 + seed) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def make_jpeg(
+    width: int,
+    height: int,
+    seed: int = 0,
+    quality: int = 85,
+    subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Deterministic baseline JPEG of the shared test pattern (own
+    encoder, functions/jpegcodec.py)."""
+    from yatsm_spark.functions.jpegcodec import encode_baseline_jpeg
+
+    return encode_baseline_jpeg(
+        _test_pattern(width, height, seed),
+        quality=quality,
+        subsample=subsample,
+        restart_interval=restart_interval,
+    )
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic 8-bit RGB PNG of the shared test pattern (own
+    encoder, functions/pngcodec.py)."""
+    from yatsm_spark.functions.pngcodec import encode_png
+
+    return encode_png(_test_pattern(width, height, seed))
+
+
 def _decode_image_bytes(data: bytes, fake: bool) -> tuple[int, int, int, float]:
-    """Decode one image: REAL for uncompressed BMP; hash-derived stub for
-    formats whose decoders need libraries absent from this environment
-    (only reachable with ``fake=True`` — the stub is never silent)."""
-    bmp = _decode_bmp(data)
-    if bmp is not None:
-        return bmp
+    """Decode one image: REAL for uncompressed BMP, baseline JPEG, and
+    8-bit PNG (own decoders, no imaging library); hash-derived stub for
+    the remaining formats (gif/webp/progressive jpeg/...) — only
+    reachable with ``fake=True``, the stub is never silent."""
+    real = _decode_bmp(data)
+    if real is not None:
+        return real
     if not fake:
         raise NotImplementedError(
-            "image decode beyond uncompressed BMP requires an imaging "
-            "library (PIL/libvips) — not installed in this environment; "
-            "pass fake=True for the deterministic stub"
+            "image decode beyond BMP/baseline-JPEG/8-bit-PNG requires an "
+            "imaging library (PIL/libvips) — not installed in this "
+            "environment; pass fake=True for the deterministic stub"
         )
     h = hashlib.md5(data).digest()
     width = 64 + h[0] * 4
@@ -252,12 +366,12 @@ def _resize_one(data: bytes, out_w: int, out_h: int, fake: bool):
     simhash64 convention)."""
     import numpy as np
 
-    decoded = _bmp_luma_grid(data)
+    decoded = _any_luma_grid(data)
     if decoded is None:
         if not fake:
             raise NotImplementedError(
-                "image resize beyond uncompressed BMP requires an imaging "
-                "library (PIL/libvips) — not installed in this "
+                "image resize beyond BMP/baseline-JPEG/8-bit-PNG requires "
+                "an imaging library (PIL/libvips) — not installed in this "
                 "environment; pass fake=True for the deterministic stub"
             )
         h = hashlib.md5(data).digest()

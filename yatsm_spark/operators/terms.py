@@ -339,6 +339,12 @@ def tfidf_cosine_pairs(
         F.col(id_col).alias("id"),
         F.explode(_term_tf_array(F.col(text_col), ngram, hash_fn)).alias("s"),
     ).select("id", F.col("s.t").alias("t"), F.col("s.tf").alias("tf"))
+    # tc has TWO consumers (the vocab df aggregate and the posts join)
+    # and no Exchange of its own to reuse — without materialization the
+    # tokenize+hash explode executes twice end to end (measured 221 s of
+    # a 439 s wall at 480k docs / 32 cores, i.e. the single most
+    # expensive stage in the plan, paid double).  Slim frame: 24 B/row.
+    tc = materialize_once(tc)
     vocab = tc.groupBy("t").agg(F.count("*").alias("df"))
     # None (default) = let AQE pick the join side from RUNTIME shuffle
     # stats — no planning-time vocab.count() job, which costs a full
