@@ -1102,18 +1102,20 @@ def _q_media_dims_synth(spark, sf):  # noqa: ARG001 — synthetic media per nort
 
 def _q_multimodal_synth(spark, sf):  # noqa: ARG001 — synthetic media per north rule
     """Binary media columns: magic sniffing (real JVM exprs) over synthetic
-    crawl html UNIONED with deterministic BMP + baseline-JPEG + PNG
-    images whose decode AND resize are REAL (own T.81/PNG decoders +
-    numpy — no imaging library; functions/jpegcodec.py, pngcodec.py) —
-    only rows no real decoder handles (html, gif headers) take the
-    documented fake-decoder path.  The resize stage contributes the
-    thumbnail md5 and the aHash perceptual near-dup key, so the golden
-    hash also pins the pixel-exact resampler, the JPEG entropy decoder,
-    and the PNG unfilter."""
+    crawl html UNIONED with deterministic BMP + baseline-JPEG + PNG +
+    GIF images whose decode AND resize are REAL (own T.81/PNG/LZW
+    decoders + numpy — no imaging library; functions/jpegcodec.py,
+    pngcodec.py, gifcodec.py) — only rows no real decoder handles
+    (html) take the documented fake-decoder path.  The resize stage
+    contributes the thumbnail md5 and the aHash perceptual near-dup
+    key, so the golden hash also pins the pixel-exact resampler, the
+    JPEG entropy decoder, the PNG unfilter, and the GIF LZW +
+    de-interlace."""
     from yatsm_spark.datagen import generate_crawl
     from yatsm_spark.operators.multimodal import (
         decode_image,
         make_bmp,
+        make_gif,
         make_jpeg,
         make_png,
         media_metadata,
@@ -1149,7 +1151,14 @@ def _q_multimodal_synth(spark, sf):  # noqa: ARG001 — synthetic media per nort
         [(int(-201 - i), bytearray(make_png(20 + 2 * i, 14 + i, seed=i))) for i in range(8)],
         "doc_id long, html binary",
     )
-    docs = docs.unionByName(bmps).unionByName(jpgs).unionByName(pngs)
+    gifs = spark.createDataFrame(
+        [
+            (int(-301 - i), bytearray(make_gif(18 + 2 * i, 12 + i, seed=i, interlace=bool(i % 2))))
+            for i in range(6)
+        ],
+        "doc_id long, html binary",
+    )
+    docs = docs.unionByName(bmps).unionByName(jpgs).unionByName(pngs).unionByName(gifs)
     meta = media_metadata(docs, "html").select("doc_id", "media_kind", "media_bytes")
     img = decode_image(docs, "html", fake=True)
     thumbs = resize_image(docs, out_w=16, out_h=16, fake=True).select(

@@ -76,7 +76,26 @@ def _scale_heap(cores: int) -> None:
     os.environ["YATSM_SPARK_DRIVER_MEM"] = f"{int(2.5 * cores)}g"
 
 
-def run_tfidf_once(crawl_path: str, cores: int) -> dict:
+# Executor shape for --cluster mode: every level runs 8-core / 20 GiB
+# executors and ONLY the executor count changes — the literal N -> 4N
+# form of the north rule.  local[k] puts all k threads in ONE JVM whose
+# allocator/GC/heap are shared 4x harder at the 4N level, a sandbox
+# artifact no real cluster exhibits (measured: the same tfidf weak pair
+# scored 0.26 single-JVM vs the multi-JVM number recorded in
+# BENCH/BASELINE.md); local-cluster[n, 8, 20480] launches n REAL
+# executor JVMs with standalone-style netty shuffle between them.
+_EXEC_CORES = 8
+_EXEC_MEM_MB = 20480
+
+
+def _cluster_master(cores: int) -> str:
+    n_exec, rem = divmod(cores, _EXEC_CORES)
+    if rem or n_exec < 1:
+        raise SystemExit(f"--cluster needs a multiple of {_EXEC_CORES} cores")
+    return f"local-cluster[{n_exec},{_EXEC_CORES},{_EXEC_MEM_MB}]"
+
+
+def run_tfidf_once(crawl_path: str, cores: int, cluster: bool = False) -> dict:
     """One tfidf_cosine_pairs pass (3-gram terms, df-capped posting
     join) with a real warm scan first — N-vs-4N evidence for the
     part-12 similarity operator."""
@@ -100,10 +119,38 @@ def run_tfidf_once(crawl_path: str, cores: int) -> dict:
     # on a quarter of the per-core memory — a sandbox artifact no
     # cluster exhibits, not the scaling property under test.  Must be
     # set BEFORE the first session of the process (JVM-launch option).
-    _scale_heap(cores)
+    # the synthetic crawls are SMALL files (120k docs = 325 MB over 63
+    # files): the default 128 MB maxPartitionBytes bins that into ~3
+    # scan partitions, capping the dominant tokenize+hash map stage at
+    # ~4-way parallelism no matter how many executors the level has
+    # (measured: 1-exec and 4-exec walls IDENTICAL at 120k docs).  8 MB
+    # gives the scan stage >= cores tasks at every level — the brief's
+    # "size maxPartitionBytes to the input" rule in action; a real
+    # 100 TB input hits neither condition.
+    extra = {"spark.sql.files.maxPartitionBytes": "8m"}
+    if cluster:
+        # the materialized (localCheckpoint) posting/vector blocks pin
+        # task locality to the executor that computed them; the default
+        # spark.locality.wait=3s then stalls the scheduler whenever that
+        # executor's cores are busy instead of running the task next
+        # door with a (localhost-cheap) remote fetch.  0 is the right
+        # setting wherever fetch cost << 3 s — here and on any
+        # same-rack cluster.
+        extra["spark.locality.wait"] = "0s"
+        # executors carry the heap (20 GiB each: the master string sizes
+        # the WORKER's allocatable pool, spark.executor.memory sizes the
+        # executor JVM inside it — both needed); the driver only plans/
+        # collects — fixed size at BOTH levels
+        os.environ["YATSM_SPARK_DRIVER_MEM"] = "8g"
+        master = _cluster_master(cores)
+        extra["spark.executor.memory"] = f"{_EXEC_MEM_MB - 1024}m"
+    else:
+        _scale_heap(cores)
+        master = f"local[{cores}]"
     spark = get_spark(
-        f"tfidf_pair{cores}", master=f"local[{cores}]",
+        f"tfidf_pair{cores}", master=master,
         shuffle_partitions=max(4 * cores, 32),
+        extra_confs=extra,
     )
     docs = spark.read.parquet(crawl_path).select(
         F.xxhash64("url", "warc_ts").alias("doc_id"), "text"
@@ -193,11 +240,18 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--suite", choices=("corpus", "tfidf"), default="corpus")
+    ap.add_argument(
+        "--cluster", action="store_true",
+        help="run each level as local-cluster[N,8,20g] (N = cores/8) — "
+        "separate executor JVMs, the literal N->4N executor form",
+    )
     ap.add_argument("--summarize", action="store_true")
     args = ap.parse_args()
     if args.out is None:
         args.out = (DEFAULT_OUT if args.suite == "corpus"
                     else DEFAULT_OUT.replace(".jsonl", "_tfidf.jsonl"))
+        if args.cluster:
+            args.out = args.out.replace(".jsonl", "_cluster.jsonl")
 
     if args.summarize:
         summarize(args.out)
@@ -205,11 +259,15 @@ def main() -> None:
 
     crawl_path = ensure_data(args.docs)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    once = run_once if args.suite == "corpus" else run_tfidf_once
     # low cores first: if co-tenant noise ramps mid-pair it penalizes the
     # HIGH leg, biasing efficiency DOWN — conservative for a PASS claim
     for cores in (int(x) for x in args.levels.split(",")):
-        r = once(crawl_path, cores)
+        if args.suite == "tfidf":
+            r = run_tfidf_once(crawl_path, cores, cluster=args.cluster)
+        else:
+            r = run_once(crawl_path, cores)
+        if args.cluster:
+            r["master"] = _cluster_master(cores)
         print(json.dumps(r), file=sys.stderr)
         with open(args.out, "a") as fh:
             fh.write(json.dumps(r) + "\n")

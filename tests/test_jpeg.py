@@ -308,11 +308,81 @@ def test_resize_real_for_jpeg_png_no_fake_flag(spark):
         assert len(r["thumb"]) == 64
 
 
-def test_gif_still_raises_without_fake(spark):
+def test_undecodable_still_raises_without_fake(spark):
+    """A bare GIF header (no image data) and a RIFF/webp blob are not
+    decodable by any real decoder — the stub policy must stay loud."""
     from yatsm_spark.operators.multimodal import decode_image, make_gif_header
 
+    for blob in (make_gif_header(10, 10), b"RIFF\x10\x00\x00\x00WEBPVP8 "):
+        df = spark.createDataFrame(
+            [(1, bytearray(blob))], "doc_id long, html binary"
+        )
+        with pytest.raises(Exception, match="NotImplementedError|imaging"):
+            decode_image(df, "html", fake=False).collect()
+
+
+# ------------------------------------------------------------ gif lzw
+
+
+def test_gif_roundtrip_lossless():
+    from yatsm_spark.functions.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    for shape, n in [((13, 17), 16), ((9, 31), 256), ((1, 1), 2), ((40, 25), 64)]:
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, shape, dtype=np.uint8)
+        assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+
+def test_gif_interlaced_and_width_growth():
+    from yatsm_spark.functions.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+    idx = rng.integers(0, 32, (23, 11), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal, interlace=True)), pal[idx])
+    # 10k pixels forces code-width growth through multiple clears
+    pal4 = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    big = rng.integers(0, 4, (100, 100), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(big, pal4)), pal4[big])
+
+
+def test_gif_lzw_handles_cScSc_case():
+    """Hand-build an LZW stream exercising the code==next_code special
+    case: after CLEAR, literal 1 then code 6 (not yet in the table) must
+    decode as prev + prev[0] = [1, 1, 1] per the spec."""
+    from yatsm_spark.functions.gifcodec import _LZWWriter, _lzw_decode
+
+    w = _LZWWriter()
+    # min_code_size 2: clear=4, eoi=5, first free code=6, width starts 3
+    w.write(4, 3)  # CLEAR
+    w.write(1, 3)  # literal 1            -> out [1]
+    w.write(6, 3)  # next_code itself     -> out [1, 1] (cScSc)
+    w.write(5, 3)  # EOI
+    data = bytes(w.bytes) + (bytes([w.acc & 0xFF]) if w.n else b"")
+    assert _lzw_decode(2, data, 3) == bytes([1, 1, 1])
+
+
+def test_gif_rejects_corrupt():
+    from yatsm_spark.functions.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (10, 10), dtype=np.uint8)
+    full = encode_gif(idx, pal)
+    with pytest.raises(ValueError):
+        decode_gif(b"notagif")
+    with pytest.raises(ValueError):
+        decode_gif(full[:12])
+    with pytest.raises(ValueError):
+        decode_gif(full[:40])
+
+
+def test_decode_image_real_for_gif(spark):
+    from yatsm_spark.operators.multimodal import decode_image, make_gif
+
     df = spark.createDataFrame(
-        [(1, bytearray(make_gif_header(10, 10)))], "doc_id long, html binary"
+        [(1, bytearray(make_gif(24, 16, seed=3)))], "doc_id long, html binary"
     )
-    with pytest.raises(Exception, match="NotImplementedError|imaging"):
-        decode_image(df, "html", fake=False).collect()
+    row = decode_image(df, "html", fake=False).first()
+    assert (row["width"], row["height"], row["n_channels"]) == (24, 16, 3)

@@ -17,7 +17,10 @@ Decode support is tiered by what the environment allows:
   * **PNG decode is REAL (round 5)** — 8-bit gray/RGB/palette/alpha,
     stdlib-zlib inflate + per-scanline unfilter (functions/pngcodec.py);
     ``make_png`` is the fixture twin.  Adam7/16-bit fall through.
-  * Remaining formats (gif/webp/video/audio codecs) are STUBBED (no
+  * **GIF decode is REAL (round 5)** — own LZW + de-interlace, first
+    frame (functions/gifcodec.py); ``make_gif`` is the literal-LZW
+    fixture twin.
+  * Remaining formats (webp/video/audio codecs) are STUBBED (no
     imaging/av library in this environment): ``decode_image`` raises
     ``NotImplementedError`` unless ``fake=True``, in which case a
     deterministic hash-derived fake exercises the full Spark path —
@@ -177,13 +180,28 @@ def _png_luma_grid(data: bytes):
     return ch, grid
 
 
+def _gif_luma_grid(data: bytes):
+    """REAL GIF decode (own LZW, functions/gifcodec.py; first frame) ->
+    (n_channels, luma grid), or None for non-decodable bytes."""
+    if len(data) < 6 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    from yatsm_spark.functions.gifcodec import decode_gif
+
+    try:
+        px = decode_gif(data)
+    except ValueError:
+        return None
+    return _rgb_luma_grid(px)
+
+
 def _any_luma_grid(data: bytes):
-    """Dispatch to the REAL decoders (BMP, baseline JPEG, PNG) in magic
-    order; None when no real decoder applies."""
+    """Dispatch to the REAL decoders (BMP, baseline JPEG, PNG, GIF) in
+    magic order; None when no real decoder applies."""
     return (
         _bmp_luma_grid(data)
         or _jpeg_luma_grid(data)
         or _png_luma_grid(data)
+        or _gif_luma_grid(data)
     )
 
 
@@ -265,18 +283,38 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
     return encode_png(_test_pattern(width, height, seed))
 
 
+def make_gif(width: int, height: int, seed: int = 0, interlace: bool = False) -> bytes:
+    """Deterministic single-frame GIF (own literal-LZW encoder,
+    functions/gifcodec.py).  GIF is palette-indexed, so the fixture is a
+    seeded 256-color palette + (x, y, seed)-arithmetic index pattern —
+    lossless by construction, unlike the RGB pattern the other makers
+    share."""
+    import numpy as np
+
+    from yatsm_spark.functions.gifcodec import encode_gif
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    idx = ((xx * 7 + yy * 13 + seed * 5) % 256).astype(np.uint8)
+    i = np.arange(256)
+    pal = np.stack(
+        [(i * 31 + seed) % 256, (i * 57 + seed * 3) % 256, (i * 97 + seed * 7) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_gif(idx, pal, interlace=interlace)
+
+
 def _decode_image_bytes(data: bytes, fake: bool) -> tuple[int, int, int, float]:
-    """Decode one image: REAL for uncompressed BMP, baseline JPEG, and
-    8-bit PNG (own decoders, no imaging library); hash-derived stub for
-    the remaining formats (gif/webp/progressive jpeg/...) — only
-    reachable with ``fake=True``, the stub is never silent."""
+    """Decode one image: REAL for uncompressed BMP, baseline JPEG,
+    8-bit PNG, and GIF (own decoders, no imaging library); hash-derived
+    stub for the remaining formats (webp/progressive jpeg/video/...) —
+    only reachable with ``fake=True``, the stub is never silent."""
     real = _decode_bmp(data)
     if real is not None:
         return real
     if not fake:
         raise NotImplementedError(
-            "image decode beyond BMP/baseline-JPEG/8-bit-PNG requires an "
-            "imaging library (PIL/libvips) — not installed in this "
+            "image decode beyond BMP/baseline-JPEG/8-bit-PNG/GIF requires "
+            "an imaging library (PIL/libvips) — not installed in this "
             "environment; pass fake=True for the deterministic stub"
         )
     h = hashlib.md5(data).digest()
@@ -370,9 +408,10 @@ def _resize_one(data: bytes, out_w: int, out_h: int, fake: bool):
     if decoded is None:
         if not fake:
             raise NotImplementedError(
-                "image resize beyond BMP/baseline-JPEG/8-bit-PNG requires "
-                "an imaging library (PIL/libvips) — not installed in this "
-                "environment; pass fake=True for the deterministic stub"
+                "image resize beyond BMP/baseline-JPEG/8-bit-PNG/GIF "
+                "requires an imaging library (PIL/libvips) — not installed "
+                "in this environment; pass fake=True for the deterministic "
+                "stub"
             )
         h = hashlib.md5(data).digest()
         seed = np.frombuffer(
