@@ -1057,6 +1057,10 @@ def _media_dims_truth() -> list[tuple[int, str, int | None, int | None]]:
         rows.append((200 + i, "gif", 32 + 5 * i, 20 + 7 * i))
         rows.append((300 + i, "bmp", 24 + i, 18 + i))
         rows.append((400 + i, "jpeg", 1280 + 11 * i, 720 + 13 * i))
+    for i in range(4):  # round-5: webp, all three container layouts
+        rows.append((600 + i, "webp", 320 + 7 * i, 240 + 5 * i))   # VP8
+        rows.append((610 + i, "webp", 100 + 11 * i, 80 + 3 * i))   # VP8L
+        rows.append((620 + i, "webp", 4000 + i, 3000 + i))         # VP8X
     rows.append((500, "html", None, None))
     rows.append((501, "png", None, None))  # truncated header -> NULL dims
     return rows
@@ -1074,6 +1078,7 @@ def _q_media_dims_synth(spark, sf):  # noqa: ARG001 — synthetic media per nort
         make_gif_header,
         make_jpeg_header,
         make_png_header,
+        make_webp_header,
         media_dimensions,
         media_metadata,
     )
@@ -1092,6 +1097,9 @@ def _q_media_dims_synth(spark, sf):  # noqa: ARG001 — synthetic media per nort
             rows.append((did, bytearray(b"<html><body>text row</body></html>")))
         elif did == 501:
             rows.append((did, bytearray(make_png_header(9, 9)[:12])))
+        elif kind == "webp":
+            layout = ("vp8", "vp8l", "vp8x")[(did - 600) // 10]
+            rows.append((did, bytearray(make_webp_header(w, h, layout))))
         else:
             rows.append((did, bytearray(mk[kind](w, h, did % 100))))
     df = spark.createDataFrame(rows, "doc_id long, html binary")

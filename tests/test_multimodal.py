@@ -252,6 +252,37 @@ def test_resize_stub_policy(media):
 # ---------------------------------------------------------- header dims
 
 
+def test_webp_dims_all_layouts(spark):
+    """WebP dims from header bytes for every container layout (VP8 lossy
+    14-bit, VP8L packed, VP8X 24-bit canvas), plus kind refinement from
+    the RIFF container and a non-webp RIFF staying dimension-less."""
+    from yatsm_spark.operators.multimodal import (
+        make_webp_header,
+        media_dimensions,
+        media_metadata,
+    )
+
+    rows = [
+        (1, bytearray(make_webp_header(320, 240, "vp8"))),
+        (2, bytearray(make_webp_header(100, 80, "vp8l"))),
+        (3, bytearray(make_webp_header(16383, 16383, "vp8"))),  # 14-bit max
+        (4, bytearray(make_webp_header(4000, 3000, "vp8x"))),
+        (5, bytearray(b"RIFF\x10\x00\x00\x00WAVEfmt ")),  # wav: riff, no dims
+        (6, bytearray(make_webp_header(8, 8, "vp8")[:20])),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    out = {
+        r["doc_id"]: (r["media_kind"], r["img_w"], r["img_h"])
+        for r in media_dimensions(media_metadata(df, "html"), "html").collect()
+    }
+    assert out[1] == ("webp", 320, 240)
+    assert out[2] == ("webp", 100, 80)
+    assert out[3] == ("webp", 16383, 16383)
+    assert out[4] == ("webp", 4000, 3000)
+    assert out[5] == ("riff", None, None)
+    assert out[6] == ("webp", None, None)
+
+
 def test_jpeg_dims_pure_python():
     """Unit-level walk: SOF behind APP segments, fill bytes, truncation."""
     from yatsm_spark.operators.multimodal import _jpeg_dims, make_jpeg_header

@@ -103,27 +103,32 @@ def smooth_spline_fit(
         return f, np.zeros(n), float("inf")
     delta, c = _spline_matrices(x)
     k = delta.T @ np.linalg.solve(c, delta)
-    wdiag = np.diag(w)
-
-    def fit_one(lam_: float):
-        a = wdiag + lam_ * k
-        fhat = np.linalg.solve(a, w * y)
-        return a, fhat
 
     if lam is None:
+        # Demmler-Reinsch (1975): ONE symmetric eigendecomposition of
+        # B = W^-1/2 K W^-1/2 = U diag(g) U', then every lambda on the
+        # GCV grid costs O(n^2) — fhat = W^-1/2 U [z/(1+lam*g)] with
+        # z = U' W^1/2 y, and tr(S) = sum 1/(1+lam*g) is FREE.  The
+        # naive loop paid two O(n^3) solves per lambda (the hat-trace
+        # one against all n unit vectors); measured 24 urls x 13-point
+        # grid at 365 knots: 3.45 s -> this form is ~15x cheaper.
+        sw = np.sqrt(w)
+        b = k / np.outer(sw, sw)
+        g, u = np.linalg.eigh(b)
+        g = np.maximum(g, 0.0)  # PSD up to roundoff
+        z = u.T @ (sw * y)
         best = None
         for lam_ in _LAM_GRID:
-            a, fhat = fit_one(lam_)
-            # hat matrix S = A^-1 W ; tr(S) via solve against W columns
-            tr_s = float(np.trace(np.linalg.solve(a, wdiag)))
-            rss = float((w * (y - fhat) ** 2).sum())
-            denom = max(n - tr_s, 1e-9)
-            gcv = n * rss / denom**2
+            d = 1.0 / (1.0 + lam_ * g)
+            fhat_ = (u @ (d * z)) / sw
+            tr_s = float(d.sum())
+            rss = float((w * (y - fhat_) ** 2).sum())
+            gcv = n * rss / max(n - tr_s, 1e-9) ** 2
             if best is None or gcv < best[0]:
-                best = (gcv, lam_, fhat)
+                best = (gcv, lam_, fhat_)
         _, lam, fhat = best
     else:
-        _, fhat = fit_one(lam)
+        fhat = np.linalg.solve(np.diag(w) + lam * k, w * y)
     gamma_int = np.linalg.solve(c, delta @ fhat)
     gamma = np.zeros(n)
     gamma[1:-1] = gamma_int

@@ -72,6 +72,14 @@ def media_metadata(df: DataFrame, bin_col: str = "html") -> DataFrame:
     kind = F.lit("unknown")
     for magic, name in reversed(_MAGIC):
         kind = F.when(prefix.startswith(magic), name).otherwise(kind)
+    # RIFF is a container: bytes 8-11 name the payload ("WEBP", "WAVE",
+    # "AVI ") — the 4-byte size field in between varies, so the prefix
+    # table can't see it; refine webp here (still pure codegen)
+    kind = F.when(
+        (kind == "riff")
+        & (F.lower(F.hex(F.substring(F.col(bin_col), 9, 4))) == "57454250"),
+        "webp",
+    ).otherwise(kind)
     return df.withColumn("media_kind", kind).withColumn(
         "media_bytes", F.length(F.col(bin_col)).cast("long")
     )
@@ -593,6 +601,26 @@ def media_dimensions(
     gif_ok = (kind == "gif") & (nbytes >= 10)
     bmp_ok = (kind == "bmp") & (nbytes >= 26)
 
+    # webp (RFC 9649): three in-container layouts, all fixed-offset —
+    # "VP8 " lossy (14-bit dims at 26/28 behind the 9D012A start code),
+    # "VP8L" lossless (1+14-bit packed dims after the 0x2F signature),
+    # "VP8X" extended (24-bit LE canvas minus-one at 24/27).  1-based.
+    fourcc = F.lower(F.hex(F.substring(col, 13, 4)))
+    vp8_ok = (
+        (kind == "webp") & (fourcc == "56503820") & (nbytes >= 30)
+        & (_u8(col, 24) == 0x9D) & (_u8(col, 25) == 0x01) & (_u8(col, 26) == 0x2A)
+    )
+    vp8l_ok = (
+        (kind == "webp") & (fourcc == "5650384c") & (nbytes >= 25)
+        & (_u8(col, 21) == 0x2F)
+    )
+    vp8x_ok = (kind == "webp") & (fourcc == "56503858") & (nbytes >= 30)
+    # VP8L packs w-1 (14 bits) then h-1 (14 bits) LSB-first from byte 22
+    l0, l1, l2, l3 = (_u8(col, 22 + i) for i in range(4))
+    vp8l_w = l0 + (l1 % 64) * 256 + 1
+    vp8l_h = F.floor(l1 / 64) + l2 * 4 + (l3 % 16) * 1024 + 1
+    le_u24 = lambda p: _u8(col, p) + _u8(col, p + 1) * 256 + _u8(col, p + 2) * 65536  # noqa: E731
+
     jpeg_prefix = F.when(
         kind == "jpeg", F.substring(col, 1, _JPEG_SCAN_BYTES)
     ).otherwise(F.lit(None).cast("binary"))
@@ -602,12 +630,18 @@ def media_dimensions(
         F.when(png_ok, _be_u32(col, 17))
         .when(gif_ok, _le_u16(col, 7))
         .when(bmp_ok, _le_i32(col, 19))
+        .when(vp8_ok, _le_u16(col, 27) % 16384)
+        .when(vp8l_ok, vp8l_w)
+        .when(vp8x_ok, le_u24(25) + 1)
         .when(kind == "jpeg", jd["w"].cast("bigint"))
     )
     height = (
         F.when(png_ok, _be_u32(col, 21))
         .when(gif_ok, _le_u16(col, 9))
         .when(bmp_ok, F.abs(_le_i32(col, 23)))
+        .when(vp8_ok, _le_u16(col, 29) % 16384)
+        .when(vp8l_ok, vp8l_h)
+        .when(vp8x_ok, le_u24(28) + 1)
         .when(kind == "jpeg", jd["h"].cast("bigint"))
     )
     # 0 or negative header dims = corrupt → NULL, not garbage
@@ -655,6 +689,32 @@ def make_jpeg_header(
     sof_payload = struct.pack(">BHHB", 8, height, width, 3)
     out += b"\xff\xc0" + struct.pack(">H", len(sof_payload) + 2) + sof_payload
     return out
+
+
+def make_webp_header(width: int, height: int, layout: str = "vp8") -> bytes:
+    """Header-valid WebP bytes in any of the three container layouts
+    (RFC 9649): 'vp8' lossy (14-bit dims behind the 9D012A start code),
+    'vp8l' lossless (0x2F signature + LSB-packed minus-one dims),
+    'vp8x' extended (24-bit LE canvas minus-one).  Payload absent —
+    dims extraction must not need it."""
+    import struct
+
+    if layout == "vp8":
+        body = b"VP8 " + struct.pack("<I", 10) + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        body += struct.pack("<HH", width, height)
+    elif layout == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits)
+    elif layout == "vp8x":
+        w1, h1 = width - 1, height - 1
+        body = (
+            b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+            + bytes([w1 & 0xFF, (w1 >> 8) & 0xFF, (w1 >> 16) & 0xFF])
+            + bytes([h1 & 0xFF, (h1 >> 8) & 0xFF, (h1 >> 16) & 0xFF])
+        )
+    else:
+        raise ValueError("layout must be vp8 / vp8l / vp8x")
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
 
 
 def media_dedup_keys(df: DataFrame, bin_col: str = "html",
