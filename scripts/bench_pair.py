@@ -26,7 +26,7 @@ DATA = "/root/repo/.benchdata/crawl_u20000_d120"
 DEFAULT_OUT = "/root/repo/.benchdata/pairs.jsonl"
 
 
-def full_wall(cores: int, noop: bool = False) -> dict:
+def full_wall(cores: int, noop: bool = False, cluster: bool = False) -> dict:
     from pyspark import StorageLevel
 
     from yatsm_spark.functions.ccdc import CCDCParams
@@ -35,11 +35,34 @@ def full_wall(cores: int, noop: bool = False) -> dict:
     from yatsm_spark.plans.segmentation import segment_series
     from yatsm_spark.session import get_spark
 
+    extra = {"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"}
+    master = f"local[{cores}]"
+    if cluster:
+        # executor-faithful N -> 4N: separate 8-core/20 GiB executor JVMs
+        # (see bench_corpus_pair.py::_cluster_master for the rationale).
+        # Python stages (segmentation/blobs mapInPandas) need the repo on
+        # the EXECUTOR workers' path — spark-submit does this with
+        # --py-files; here executorEnv carries it.
+        n_exec, rem = divmod(cores, 8)
+        assert rem == 0 and n_exec >= 1, "--cluster needs a multiple of 8 cores"
+        master = f"local-cluster[{n_exec},8,20480]"
+        os.environ["YATSM_SPARK_DRIVER_MEM"] = "8g"
+        extra.update({
+            "spark.executor.memory": "19456m",
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ),
+            "spark.locality.wait": "0s",
+            # 1.54 GiB input / 63 files: the 128 MB default bins the scan
+            # into ~12 partitions — size to the input so every level gets
+            # a full fan-out (task-brief spill-aware sizing rule)
+            "spark.sql.files.maxPartitionBytes": "16m",
+        })
     spark = get_spark(
         f"pair{cores}",
-        master=f"local[{cores}]",
+        master=master,
         shuffle_partitions=64,
-        extra_confs={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"},
+        extra_confs=extra,
     )
     crawl = spark.read.parquet(DATA)
     sc = "/root/repo/.benchdata/pair_scratch"
@@ -108,11 +131,21 @@ def main() -> None:
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--summarize", action="store_true")
     ap.add_argument("--noop", action="store_true", help="compute-only mode")
+    ap.add_argument(
+        "--cluster", action="store_true",
+        help="local-cluster[N,8,20g] executor-faithful mode (separate JVMs)",
+    )
     args = ap.parse_args()
+    if args.cluster and args.out == DEFAULT_OUT:
+        args.out = DEFAULT_OUT.replace(".jsonl", "_cluster.jsonl")
     mode = "noop" if args.noop else "write"
     if args.summarize:
         print(json.dumps({m: summarize(args.out, m) for m in ("write", "noop")}))
         return
+    if not os.path.exists(f"{DATA}/_SUCCESS"):
+        from bench_scaling import ensure_data
+
+        ensure_data(os.path.dirname(DATA), 20000, 120)
     ts = time.time()
     # alternate leg order between invocations: host noise is bursty, so a
     # fixed order would bias which level absorbs it
@@ -120,7 +153,7 @@ def main() -> None:
     order = (8, 32) if (n_prior // 2) % 2 == 0 else (32, 8)
     with open(args.out, "a", encoding="utf-8") as f:
         for cores in order:
-            r = full_wall(cores, noop=args.noop)
+            r = full_wall(cores, noop=args.noop, cluster=args.cluster)
             r["ts"] = ts
             f.write(json.dumps(r) + "\n")
             f.flush()
