@@ -11,6 +11,8 @@ import zlib
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from yatsm_spark.functions.jpegcodec import (
     DCT_T,
@@ -262,6 +264,60 @@ def test_png_rejects_unsupported():
         decode_png(bad16)
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"not a png")
+
+
+# -------------------------------------- hypothesis round-trip properties
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    depth=st.integers(1, 8),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_roundtrip_property(h, w, depth, interlace, seed):
+    from yatsm_spark.functions.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    n = 1 << depth
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal, interlace)), pal[idx])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+    quality=st.integers(20, 97),
+    sub=st.sampled_from([(1, 1), (2, 2)]),
+    restart=st.integers(0, 4),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_bitstream_exactness_property(h, w, quality, sub, restart, seed):
+    """For ANY image/quality/subsampling/restart combination, the real
+    decode equals the no-bitstream coefficient pipeline — the entropy
+    layer is lossless everywhere, not just on the parametrized cases."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    enc = encode_baseline_jpeg(img, quality=quality, subsample=sub, restart_interval=restart)
+    assert np.array_equal(decode_baseline_jpeg(enc), _reference_pipeline(img, quality, sub))
 
 
 # --------------------------------------- integration: multimodal path
