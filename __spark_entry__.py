@@ -1270,6 +1270,39 @@ def _pheno_synth(spark, sf):  # noqa: ARG001 — synthetic input per north rule
     return longterm_pheno(obs, lam=None)
 
 
+def _stl_synth(spark, sf):  # noqa: ARG001 — synthetic input per north rule
+    """STL-style seasonal decomposition (functions/decompose.py): 12 urls
+    x 200 days of 2-a-day observations with planted linear trend +
+    weekly sinusoid + one spike per url.  Golden-table oracle; absolute
+    anchors (component recovery, spike-only anomaly, subseries
+    periodicity, reconstruction identity) in tests/test_decompose.py."""
+    from yatsm_spark.functions.decompose import seasonal_decompose
+
+    u = spark.range(12).select(
+        F.concat(F.lit("https://stl"), F.col("id"), F.lit(".example/")).alias("url"),
+        (F.lit(8.0) + F.col("id").cast("double")).alias("base"),
+        (F.lit(0.02) + 0.01 * F.col("id")).alias("slope"),
+        (F.lit(2.0) + F.pmod(F.col("id"), F.lit(3)).cast("double")).alias("amp"),
+        (F.lit(60) + 20 * F.col("id")).alias("spike_at"),
+    )
+    obs = u.select(
+        "url", "base", "slope", "amp", "spike_at",
+        F.explode(F.sequence(F.lit(0), F.lit(399))).alias("k"),
+    ).select(
+        "url",
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("k") * 43200
+        ).alias("ts"),
+        (
+            F.col("base")
+            + F.col("slope") * F.col("k") * 0.5
+            + F.col("amp") * F.sin((F.col("k") * 0.5 % 7.0) * (2 * math.pi / 7.0))
+            + F.when(F.col("k") == F.col("spike_at"), 25.0).otherwise(0.0)
+        ).alias("val"),
+    )
+    return seasonal_decompose(obs, period_days=7.0)
+
+
 def _q_corpus_clean_e2e(spark, sf):
     """FULL corpus-cleaning pipeline (jobs/corpus.py::clean_corpus) over
     a crawl synthesized from the documents table — HASH-CHECKED end to
@@ -1488,11 +1521,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       family (docs_tfidf_terms/commonness/collocations — shared
     #       vocab/N plumbing), dup spans (dedup.py shared shingle path);
     #   (c) the NEW ops media_dims_synth (header-dims parsers, literal
-    #       ground-truth oracle) and pheno_longterm_synth (K12 smoothing-
-    #       spline phenology, golden-table oracle) — displacing r4-green
-    #       docs_commonness, whose changed terms.py vocab plumbing keeps
-    #       THREE in-window sentinels (docs_tfidf_terms, tfidf_cosine,
-    #       docs_collocations);
+    #       ground-truth oracle), pheno_longterm_synth (K12 smoothing-
+    #       spline phenology, golden-table oracle), and
+    #       stl_decompose_synth (STL-style seasonal decomposition,
+    #       golden-table oracle) — displacing r4-green docs_commonness
+    #       (terms.py vocab plumbing keeps THREE in-window sentinels:
+    #       docs_tfidf_terms, tfidf_cosine, docs_collocations) and
+    #       r4-green docs_dup_span_cut (its shingle path keeps the
+    #       docs_dup_spans sentinel in-window);
     #   (d) 31 of the 43 rows last driver-checked in r3, prioritized per
     #       the r4 verdict: rollup_1h, cascades, codec_roundtrip,
     #       blob_range_read, tier family, then every remaining stale row
@@ -1522,7 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_terms": _q_docs_tfidf_terms,
         "docs_collocations": _q_docs_collocations,
         "docs_dup_spans": _q_docs_dup_spans,
-        "docs_dup_span_cut": _q_docs_dup_span_cut,
+        "stl_decompose_synth": _stl_synth,
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
         "cascade_30d": _q_cascade_30d,
@@ -1557,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pheno_longterm_synth": _pheno_synth,
         # ---- below the driver's 50-query window (full-registry
         # coverage via scripts/check_oracle.py) ----
+        "docs_dup_span_cut": _q_docs_dup_span_cut,
         "docs_commonness": _q_docs_commonness,
         "url_canonicalize": _q_url_canonicalize,
         "event_type_daily": _q_event_type_daily,
@@ -2854,6 +2891,10 @@ _CHANGEMAP_GOLDEN = _golden(
     "CAST(last_break AS TIMESTAMP) AS last_break",
 )
 _CLASSIFY_GOLDEN = _golden("ccdc_classify_synth", "url, seg_id, status, predicted_label")
+_STL_GOLDEN = _golden(
+    "stl_decompose_synth",
+    "url, CAST(ts AS TIMESTAMP) AS ts, val, trend, seasonal, remainder, is_anomaly",
+)
 _PHENO_GOLDEN = _golden(
     "pheno_longterm_synth",
     "url, CAST(n_obs AS BIGINT) AS n_obs, CAST(n_doy AS INTEGER) AS n_doy, "
@@ -3477,6 +3518,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_media_synth": _MULTIMODAL_GOLDEN,
         "media_dims_synth": _MEDIA_DIMS,
         "pheno_longterm_synth": _PHENO_GOLDEN,
+        "stl_decompose_synth": _STL_GOLDEN,
         # approximate-but-DETERMINISTIC ops, fully reproduced in SQL:
         "minhash_lsh_pairs": _MINHASH_LSH,
         "minhash_lsh_guarded": _MINHASH_LSH_GUARDED,

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     # per-DOY means)
     "media_dims_synth",
     "pheno_longterm_synth",
+    "stl_decompose_synth",
 ]
 
 

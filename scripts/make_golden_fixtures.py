@@ -33,6 +33,7 @@ GOLDEN_QUERIES = (
     "ccdc_classify_synth",
     "multimodal_media_synth",
     "pheno_longterm_synth",
+    "stl_decompose_synth",
 )
 
 
