@@ -18,6 +18,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from yatsm_spark.operators.changemap import (  # noqa: E402
     break_magnitude,
     change_summary,
@@ -37,6 +39,12 @@ def main() -> None:
     ap.add_argument("--at", default=None)
     ap.add_argument("--output", required=True)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--tiff", default=None,
+        help="ALSO write the result as a url-bucket x month raster TIFF "
+        "(S6 map sink, own GDAL-free codec); value = output path",
+    )
+    ap.add_argument("--tiff-buckets", type=int, default=256)
     args = ap.parse_args()
 
     spark = get_spark("yatsm_spark_changemap", master=args.master)
@@ -51,6 +59,19 @@ def main() -> None:
         out = predict_at(segs, args.at or args.start)
     out.write.mode("overwrite").parquet(args.output)
     print(f"{args.mode}: {spark.read.parquet(args.output).count()} rows -> {args.output}")
+    if args.tiff and args.mode == "summary":
+        from yatsm_spark.operators.changemap import write_map_tiff
+
+        grid = (
+            segs.filter(F.col("break_ts").between(F.lit(args.start), F.lit(args.end)))
+            .withColumn("bucket", F.abs(F.xxhash64("url")) % args.tiff_buckets)
+            .withColumn("month", F.date_trunc("month", "break_ts").cast("date"))
+            .groupBy("bucket", "month")
+            .agg(F.count("*").alias("n_breaks"))
+        )
+        meta = write_map_tiff(grid, args.tiff, x_col="month", y_col="bucket",
+                              val_col="n_breaks", dtype="int32")
+        print(f"map raster: {meta['height']}x{meta['width']} -> {meta['path']}")
     spark.stop()
 
 

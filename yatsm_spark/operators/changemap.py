@@ -93,3 +93,73 @@ def predict_at(segments: DataFrame, at: str, period: float = PERIOD_DAYS) -> Dat
         cond = F.size("coef") == n_coef
         preds = dot if preds is None else F.when(cond, dot).otherwise(preds)
     return active.select("url", "seg_id", preds.alias("prediction"))
+
+
+def rasterize(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    val_col: str,
+    fill: float = 0.0,
+    max_pixels: int = 64_000_000,
+):
+    """S6 map sink, step 1: pivot a GRID-SHAPED query result (one row
+    per (y, x) cell) into a dense numpy matrix plus its sorted axis
+    labels.  The reference rasterizes per-pixel records into image
+    bands the same way (`yatsm/cli/map.py` [U], via GDAL there).
+
+    A map is by definition raster-sized, so the driver-side collect is
+    BOUNDED by ``max_pixels`` (asserted on the distinct axis counts
+    BEFORE any cell is collected — never on raw row count).  This is
+    the one deliberate collect in the query surface: a raster is an
+    output artifact, exactly like the reference writing a GeoTIFF per
+    job; everything upstream of the pivot is ordinary distributed
+    DataFrame work.
+    """
+    import numpy as np
+
+    xs = [r[0] for r in df.select(x_col).distinct().orderBy(x_col).collect()]
+    ys = [r[0] for r in df.select(y_col).distinct().orderBy(y_col).collect()]
+    if len(xs) * len(ys) > max_pixels:
+        raise ValueError(
+            f"rasterize: {len(ys)}x{len(xs)} grid exceeds max_pixels="
+            f"{max_pixels}; aggregate to a coarser grid first"
+        )
+    xi = {v: i for i, v in enumerate(xs)}
+    yi = {v: i for i, v in enumerate(ys)}
+    grid = np.full((len(ys), len(xs)), float(fill), dtype=np.float64)
+    for r in df.select(y_col, x_col, val_col).collect():
+        if r[2] is not None:
+            grid[yi[r[0]], xi[r[1]]] = float(r[2])
+    return grid, ys, xs
+
+
+def write_map_tiff(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    val_col: str,
+    dtype: str = "float64",
+    fill: float = 0.0,
+    pixel_scale=None,
+    tiepoint=None,
+    epsg=None,
+) -> dict:
+    """S6 map sink: rasterize + write a single-band TIFF (own stdlib
+    codec, functions/tiffcodec.py — GDAL-free).  GeoTIFF georeferencing
+    tags are OPTIONAL pass-through: the crawl data model has no spatial
+    payload, so none are invented; a deployment whose grid axes have a
+    spatial meaning supplies pixel_scale/tiepoint/epsg and gets a
+    spec-valid GeoTIFF.  Returns {path, width, height} lineage."""
+    import numpy as np
+
+    from yatsm_spark.functions.tiffcodec import encode_tiff
+
+    grid, ys, xs = rasterize(df, x_col, y_col, val_col, fill=fill)
+    grid = grid.astype(np.dtype(dtype))
+    data = encode_tiff(grid, pixel_scale=pixel_scale, tiepoint=tiepoint, epsg=epsg)
+    with open(path, "wb") as fh:
+        fh.write(data)
+    return {"path": path, "width": len(xs), "height": len(ys),
+            "bytes": len(data)}
