@@ -1303,6 +1303,40 @@ def _stl_synth(spark, sf):  # noqa: ARG001 — synthetic input per north rule
     return seasonal_decompose(obs, period_days=7.0)
 
 
+def _hw_synth(spark, sf):  # noqa: ARG001 — synthetic input per north rule
+    """Holt-Winters additive forecasting (functions/forecast.py): 8 urls
+    x 10 days of hourly observations with planted level/trend/daily-
+    sinusoid + a deterministic sub-daily perturbation; fitted one-step
+    values for every observation plus a 24-hour forecast horizon.
+    Golden-table oracle; the ABSOLUTE anchors are the closed-form
+    fixed-point tests in tests/test_forecast.py (constant, pure
+    seasonal, linear, trend+seasonal — all exact to 1e-12)."""
+    from yatsm_spark.functions.forecast import hw_forecast
+
+    u = spark.range(8).select(
+        F.concat(F.lit("https://hw"), F.col("id"), F.lit(".example/")).alias("url"),
+        (F.lit(40.0) + 3.0 * F.col("id")).alias("base"),
+        (F.lit(0.005) + 0.002 * F.col("id")).alias("slope"),
+        (F.lit(3.0) + F.pmod(F.col("id"), F.lit(4)).cast("double")).alias("amp"),
+    )
+    obs = u.select(
+        "url", "base", "slope", "amp",
+        F.explode(F.sequence(F.lit(0), F.lit(24 * 10 - 1))).alias("k"),
+    ).select(
+        "url",
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-03-01 00:00:00")) + F.col("k") * 3600
+        ).alias("ts"),
+        (
+            F.col("base")
+            + F.col("slope") * F.col("k")
+            + F.col("amp") * F.sin((F.col("k") % 24) * (2 * math.pi / 24.0))
+            + 0.3 * F.sin(F.col("k") * 1.7)
+        ).alias("val"),
+    )
+    return hw_forecast(obs, period_rows=24, horizon=24)
+
+
 def _q_corpus_clean_e2e(spark, sf):
     """FULL corpus-cleaning pipeline (jobs/corpus.py::clean_corpus) over
     a crawl synthesized from the documents table — HASH-CHECKED end to
@@ -1524,11 +1558,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       ground-truth oracle), pheno_longterm_synth (K12 smoothing-
     #       spline phenology, golden-table oracle), and
     #       stl_decompose_synth (STL-style seasonal decomposition,
+    #       golden-table oracle) and hw_forecast_synth (Holt-Winters,
     #       golden-table oracle) — displacing r4-green docs_commonness
     #       (terms.py vocab plumbing keeps THREE in-window sentinels:
-    #       docs_tfidf_terms, tfidf_cosine, docs_collocations) and
+    #       docs_tfidf_terms, tfidf_cosine, docs_collocations),
     #       r4-green docs_dup_span_cut (its shingle path keeps the
-    #       docs_dup_spans sentinel in-window);
+    #       docs_dup_spans sentinel in-window), and r4-green
+    #       docs_minhash_sigs (the signature path feeds both in-window
+    #       LSH queries, incl. the metered guard branch);
     #   (d) 31 of the 43 rows last driver-checked in r3, prioritized per
     #       the r4 verdict: rollup_1h, cascades, codec_roundtrip,
     #       blob_range_read, tier family, then every remaining stale row
@@ -1554,11 +1591,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_guarded": _q_minhash_lsh_guarded,
         "simhash_neardup": _q_simhash_neardup,
         "corpus_clean_e2e": _q_corpus_clean_e2e,
-        "docs_minhash_sigs": _q_docs_minhash,
         "docs_tfidf_terms": _q_docs_tfidf_terms,
         "docs_collocations": _q_docs_collocations,
         "docs_dup_spans": _q_docs_dup_spans,
         "stl_decompose_synth": _stl_synth,
+        "hw_forecast_synth": _hw_synth,
         "rollup_1h": _q_rollup_1h,
         "cascade_1d": _q_cascade_1d,
         "cascade_30d": _q_cascade_30d,
@@ -1593,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pheno_longterm_synth": _pheno_synth,
         # ---- below the driver's 50-query window (full-registry
         # coverage via scripts/check_oracle.py) ----
+        "docs_minhash_sigs": _q_docs_minhash,
         "docs_dup_span_cut": _q_docs_dup_span_cut,
         "docs_commonness": _q_docs_commonness,
         "url_canonicalize": _q_url_canonicalize,
@@ -2891,6 +2929,10 @@ _CHANGEMAP_GOLDEN = _golden(
     "CAST(last_break AS TIMESTAMP) AS last_break",
 )
 _CLASSIFY_GOLDEN = _golden("ccdc_classify_synth", "url, seg_id, status, predicted_label")
+_HW_GOLDEN = _golden(
+    "hw_forecast_synth",
+    "url, CAST(ts AS TIMESTAMP) AS ts, kind, val, fitted",
+)
 _STL_GOLDEN = _golden(
     "stl_decompose_synth",
     "url, CAST(ts AS TIMESTAMP) AS ts, val, trend, seasonal, remainder, is_anomaly",
@@ -3519,6 +3561,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dims_synth": _MEDIA_DIMS,
         "pheno_longterm_synth": _PHENO_GOLDEN,
         "stl_decompose_synth": _STL_GOLDEN,
+        "hw_forecast_synth": _HW_GOLDEN,
         # approximate-but-DETERMINISTIC ops, fully reproduced in SQL:
         "minhash_lsh_pairs": _MINHASH_LSH,
         "minhash_lsh_guarded": _MINHASH_LSH_GUARDED,

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "media_dims_synth",
     "pheno_longterm_synth",
     "stl_decompose_synth",
+    "hw_forecast_synth",
 ]
 
 

@@ -34,6 +34,7 @@ GOLDEN_QUERIES = (
     "multimodal_media_synth",
     "pheno_longterm_synth",
     "stl_decompose_synth",
+    "hw_forecast_synth",
 )
 
 
