@@ -118,13 +118,17 @@ def rasterize(
     """
     import numpy as np
 
-    xs = [r[0] for r in df.select(x_col).distinct().orderBy(x_col).collect()]
-    ys = [r[0] for r in df.select(y_col).distinct().orderBy(y_col).collect()]
-    if len(xs) * len(ys) > max_pixels:
+    # COUNT the axes before collecting them: the cap must bound every
+    # driver-side materialization, including the axis label lists
+    nx = df.select(x_col).distinct().count()
+    ny = df.select(y_col).distinct().count()
+    if nx * ny > max_pixels:
         raise ValueError(
-            f"rasterize: {len(ys)}x{len(xs)} grid exceeds max_pixels="
+            f"rasterize: {ny}x{nx} grid exceeds max_pixels="
             f"{max_pixels}; aggregate to a coarser grid first"
         )
+    xs = [r[0] for r in df.select(x_col).distinct().orderBy(x_col).collect()]
+    ys = [r[0] for r in df.select(y_col).distinct().orderBy(y_col).collect()]
     xi = {v: i for i, v in enumerate(xs)}
     yi = {v: i for i, v in enumerate(ys)}
     grid = np.full((len(ys), len(xs)), float(fill), dtype=np.float64)
